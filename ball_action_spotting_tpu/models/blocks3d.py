@@ -1,0 +1,94 @@
+"""3D temporal-fusion blocks (Flax, NDHWC).
+
+Parity reference: ``/root/reference/src/models/multidim_stacker.py:53-134``
+(``BatchNormAct3d``, ``SqueezeExcite`` 3D, ``InvertedResidual3d``). Layout is
+channels-last so the pointwise convs lower to MXU matmuls; the 3×3×3
+depthwise conv vectorizes on the VPU. BN here uses torch defaults
+(eps 1e-5) unlike the encoder's TF-ported 1e-3.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ball_action_spotting_tpu.models.effnetv2 import BatchNormAct, DropPath
+
+
+class SqueezeExcite3d(nn.Module):
+    """SE over (T, H, W); reduction = channels // reduce_ratio
+    (reference ``multidim_stacker.py:72-90``)."""
+
+    reduce_ratio: int = 8
+    act: Callable = jax.nn.silu
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        rd = x.shape[-1] // self.reduce_ratio
+        se = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        se = nn.Conv(rd, (1, 1, 1), use_bias=True, name="conv_reduce", dtype=self.dtype)(se)
+        se = self.act(se)
+        se = nn.Conv(x.shape[-1], (1, 1, 1), use_bias=True, name="conv_expand", dtype=self.dtype)(se)
+        return x * jax.nn.sigmoid(se)
+
+
+class InvertedResidual3d(nn.Module):
+    """MBConv-style 3D block: 1×1×1 expand → 3×3×3 depthwise → SE →
+    1×1×1 project, residual (reference ``multidim_stacker.py:93-134``).
+
+    Input/output: (B, T, H, W, C).
+    """
+
+    features: int
+    expansion_ratio: int = 6
+    se_reduce_ratio: int = 24
+    act: Callable = jax.nn.silu
+    drop_path_rate: float = 0.0
+    bn_eps: float = 1e-5
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        mid = x.shape[-1] * self.expansion_ratio
+
+        x = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
+                         dtype=self.dtype, name="bn1")(x, train)
+        x = nn.Conv(
+            mid, (3, 3, 3), padding="SAME", feature_group_count=mid,
+            use_bias=False, name="conv_dw", dtype=self.dtype,
+        )(x)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
+                         dtype=self.dtype, name="bn2")(x, train)
+        x = SqueezeExcite3d(self.se_reduce_ratio, self.act, dtype=self.dtype, name="se")(x)
+        x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
+        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name,
+                         dtype=self.dtype, name="bn3")(x, train)
+        x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
+        return x
+
+
+class GeneralizedMeanPooling(nn.Module):
+    """GeM pooling: ``mean(clamp(x, eps)^p)^(1/p)`` over spatial dims, with a
+    learnable scalar ``p`` (reference ``multidim_stacker.py:20-50``).
+
+    Input (B, H, W, C) → output (B, C). Computed in float32: the pow/log
+    chain is precision-sensitive at p=3.
+    """
+
+    p_init: float = 3.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.param("p", lambda _: jnp.full((1,), self.p_init, jnp.float32))
+        x = x.astype(jnp.float32)
+        x = jnp.clip(x, min=self.eps) ** p
+        x = jnp.mean(x, axis=(1, 2))
+        return x ** (1.0 / p)

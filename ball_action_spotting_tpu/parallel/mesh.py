@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (SURVEY §2.2); the TPU-native scaling story is
+GSPMD data parallelism: one 1-D ``data`` mesh axis, batches sharded across
+it, state replicated, XLA inserting the gradient all-reduce over ICI. Because
+the jitted step sees the *global* batch, BatchNorm statistics are computed
+over all devices automatically — sync-BN for free, which matters at the
+reference's tiny batch 4 (SURVEY §7 hard-part 6).
+
+A ``model`` axis is declared for headroom (the flagship is ~7M params so it
+stays size 1 by default), so meshes are (data, model) from day one.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = devices[: n_data * n_model]
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate_state(state, mesh: Mesh):
+    return jax.device_put(state, replicated(mesh))
+
+
+def pad_batch_to_devices(frames: np.ndarray, targets: np.ndarray, n: int):
+    """Pad a trailing partial batch so its leading dim divides the mesh's
+    data axis; returns (frames, targets, valid_count)."""
+    b = frames.shape[0]
+    pad = (-b) % n
+    if pad:
+        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+        targets = np.concatenate([targets, np.repeat(targets[-1:], pad, axis=0)])
+    return frames, targets, b

@@ -1,0 +1,162 @@
+"""Checkpoint save/load + cross-stage weight transfer.
+
+Replaces the reference's ``EmaCheckpoint`` argus callback and checkpoint
+utilities (``/root/reference/src/ema.py:61-78``, ``src/utils.py:31-83``):
+
+- each checkpoint stores the experiment params dict plus BOTH the EMA and
+  raw variable trees (flax msgpack bytes), so inference rebuilds the model
+  with no config file, like argus checkpoints do;
+- best-model discovery parses the score from the filename
+  ``model-{epoch:03d}-{score:.6f}.ckpt`` exactly like the reference's
+  ``get_best_model_path``;
+- ``transfer_weights`` is the shape-tolerant tree copy enabling the 2→15
+  class and 15→33 frame transfers (``src/utils.py:67-83``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import struct as _struct
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_SUFFIX = ".ckpt"
+_MAGIC = b"BASTPU01"
+
+
+def save_checkpoint(
+    path: Path,
+    params_dict: dict,
+    variables: dict,
+    no_ema_variables: Optional[dict] = None,
+) -> None:
+    """Single-file checkpoint: header JSON (model params/config) + msgpack
+    variable trees."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    header = json.dumps({"model_name": "BallActionModel", "params": params_dict}).encode()
+    ema_bytes = serialization.msgpack_serialize(jax.tree.map(np.asarray, variables))
+    raw_bytes = (
+        serialization.msgpack_serialize(jax.tree.map(np.asarray, no_ema_variables))
+        if no_ema_variables is not None
+        else b""
+    )
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        for blob in (header, ema_bytes, raw_bytes):
+            f.write(_struct.pack("<Q", len(blob)))
+            f.write(blob)
+
+
+def load_checkpoint(path: Path, use_ema: bool = True) -> tuple[dict, dict]:
+    """Returns (variables, params_dict)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"Not a bas-tpu checkpoint: {path}")
+        blobs = []
+        for _ in range(3):
+            (n,) = _struct.unpack("<Q", f.read(8))
+            blobs.append(f.read(n))
+    header = json.loads(blobs[0].decode())
+    if not use_ema and not blobs[2]:
+        raise ValueError(f"Checkpoint {path} has no raw (non-EMA) weights")
+    variables = serialization.msgpack_restore(blobs[1] if use_ema else blobs[2])
+    return variables, header["params"]
+
+
+def checkpoint_name(epoch: int, score: float) -> str:
+    return f"model-{epoch:03d}-{score:.6f}{CKPT_SUFFIX}"
+
+
+def get_best_checkpoint_path(
+    dir_path: Path, return_score: bool = False, more_better: bool = True
+):
+    """Filename-score-based best checkpoint discovery
+    (reference ``src/utils.py:31-52``); also accepts reference ``.pth``."""
+    dir_path = Path(dir_path)
+    scored = []
+    for path in list(dir_path.glob(f"*{CKPT_SUFFIX}")) + list(dir_path.glob("*.pth")):
+        m = re.search(r"-(\d+(?:\.\d+)?)\.(?:ckpt|pth)$", path.name)
+        if m:
+            scored.append((path, float(m.group(1))))
+    if not scored:
+        return (None, -np.inf) if return_score else None
+    scored.sort(key=lambda x: x[1], reverse=more_better)
+    best, score = scored[0]
+    return (best, score) if return_score else best
+
+
+class CheckpointManager:
+    """Best-by-metric retention with ``max_saves``
+    (reference EmaCheckpoint + argus Checkpoint max_saves semantics)."""
+
+    def __init__(self, save_dir: Path, max_saves: int = 1, more_better: bool = True):
+        self.save_dir = Path(save_dir)
+        self.max_saves = max_saves
+        self.more_better = more_better
+        self._saved: list[tuple[float, Path]] = []
+
+    def save(self, epoch: int, score: float, params_dict: dict,
+             variables: dict, no_ema_variables: Optional[dict] = None) -> Path:
+        path = self.save_dir / checkpoint_name(epoch, score)
+        save_checkpoint(path, params_dict, variables, no_ema_variables)
+        self._saved.append((score, path))
+        self._saved.sort(key=lambda x: x[0], reverse=self.more_better)
+        while len(self._saved) > self.max_saves:
+            _, old = self._saved.pop()
+            old.unlink(missing_ok=True)
+        return path
+
+
+def transfer_weights(variables: dict, pretrain_variables: dict, verbose: bool = True) -> dict:
+    """Copy matching-shape leaves from pretrain; keep target leaves where
+    shapes differ (reference ``load_weights_from_pretrain``,
+    ``src/utils.py:67-83``). Trees must have identical structure."""
+
+    def pick(path, target, pre):
+        if np.shape(target) == np.shape(pre):
+            return pre
+        if verbose:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            print(
+                f"Layer '{name}' has different shape in pretrain "
+                f"{np.shape(target)} != {np.shape(pre)}. Skip loading."
+            )
+        return target
+
+    return jax.tree_util.tree_map_with_path(pick, variables, pretrain_variables)
+
+
+def resolve_pretrain_variables(path: Path, use_ema: bool = True) -> tuple[dict, dict]:
+    """Load either a native checkpoint or a reference argus ``.pth``."""
+    path = Path(path)
+    if path.suffix == ".pth":
+        from ball_action_spotting_tpu.models.torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(path, use_ema=use_ema)
+    return load_checkpoint(path, use_ema=use_ema)
+
+
+def snapshot_experiment(save_dir: Path, config: dict, extra_files: dict[str, str] | None = None) -> None:
+    """Persist the resolved config (+ any source snapshots) into the
+    experiment dir for reproducibility
+    (reference ``scripts/ball_action/train.py:189-193``)."""
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    def default(o: Any):
+        if isinstance(o, Path):
+            return str(o)
+        if isinstance(o, (np.integer, np.floating)):
+            return o.item()
+        return repr(o)
+
+    (save_dir / "config.json").write_text(json.dumps(config, indent=4, default=default))
+    for name, content in (extra_files or {}).items():
+        (save_dir / name).write_text(content)

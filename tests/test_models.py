@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ball_action_spotting_tpu.models import build_model
+from ball_action_spotting_tpu.models.effnetv2 import (
+    EFFNETV2_ARCHS,
+    BlockDef,
+    EfficientNetV2Features,
+    resolve_arch,
+    round_channels,
+)
+from ball_action_spotting_tpu.models.blocks3d import GeneralizedMeanPooling
+from ball_action_spotting_tpu.models.multidim_stacker import MultiDimStacker
+
+# A tiny arch so tests compile fast on single-core CPU; same stage kinds and
+# 5 feature taps as the real b0.
+EFFNETV2_ARCHS["efficientnetv2_test"] = (
+    8,
+    (
+        BlockDef("cn", 1, 3, 1, 1, 8),
+        BlockDef("er", 1, 3, 2, 2, 8),
+        BlockDef("er", 1, 3, 2, 2, 16),
+        BlockDef("ir", 1, 3, 2, 2, 16, 0.25),
+        BlockDef("ir", 1, 3, 2, 2, 24, 0.25),
+    ),
+    1.0,
+    1.0,
+)
+
+
+def tiny_stacker(**kwargs):
+    defaults = dict(
+        model_name="efficientnetv2_test",
+        num_classes=2,
+        num_frames=6,
+        stack_size=3,
+        index_2d_features=4,
+        num_3d_blocks=2,
+        num_3d_features=16,
+        num_3d_stack_proj=16,
+        expansion_3d_ratio=2,
+        se_reduce_3d_ratio=4,
+        drop_rate=0.2,
+        drop_path_rate=0.1,
+    )
+    defaults.update(kwargs)
+    return MultiDimStacker(**defaults)
+
+
+def test_resolve_arch_b0_channels():
+    stem, stages = resolve_arch("tf_efficientnetv2_b0.in1k")
+    assert stem == 32
+    assert [s.channels for s in stages] == [16, 32, 48, 96, 112, 192]
+    assert [s.repeats for s in stages] == [1, 2, 2, 3, 5, 8]
+
+
+def test_resolve_arch_b3_multipliers():
+    stem, stages = resolve_arch("efficientnetv2_b3")
+    # channel_multiplier 1.2, depth 1.4 (timm v2_b3)
+    assert stem == round_channels(32, 1.2) == 40
+    assert stages[-1].channels == round_channels(192, 1.2) == 232
+    assert stages[0].repeats == 2  # ceil(1*1.4)
+
+
+def test_feature_channels_b0():
+    assert EfficientNetV2Features.feature_channels("efficientnetv2_b0", 4) == 192
+    assert EfficientNetV2Features.feature_channels("efficientnetv2_b0", 3) == 112
+    assert EfficientNetV2Features.feature_channels("efficientnetv2_b0", 0) == 16
+
+
+def test_encoder_feature_shapes():
+    enc = EfficientNetV2Features(model_name="efficientnetv2_test", out_index=4)
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(vars_, x)
+    assert out.shape == (2, 2, 2, 24)  # stride 32, 24 channels
+
+
+def test_encoder_stops_at_tap():
+    enc = EfficientNetV2Features(model_name="efficientnetv2_test", out_index=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    vars_ = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(vars_, x)
+    assert out.shape == (1, 4, 4, 16)
+    # stages past the tap must not exist in the params tree
+    assert "blocks_4_0" not in vars_["params"]
+    assert "blocks_3_0" not in vars_["params"]
+
+
+def test_gem_pooling_matches_reference_math():
+    gem = GeneralizedMeanPooling(3.0)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 5, 3)), jnp.float32)
+    vars_ = gem.init(jax.random.PRNGKey(0), x)
+    out = gem.apply(vars_, x)
+    ref = (np.clip(np.asarray(x), 1e-6, None) ** 3.0).mean(axis=(1, 2)) ** (1 / 3.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
+    assert vars_["params"]["p"].shape == (1,)
+
+
+class TestMultiDimStacker:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        model = tiny_stacker()
+        x = jnp.zeros((2, 6, 64, 64), jnp.float32)
+        vars_ = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        return model, vars_, x
+
+    def test_forward_shape(self, model_and_vars):
+        model, vars_, x = model_and_vars
+        out = model.apply(vars_, x, train=False)
+        assert out.shape == (2, 2)
+
+    def test_split_forward_equals_full(self, model_and_vars):
+        model, vars_, _ = model_and_vars
+        x = jnp.asarray(np.random.default_rng(1).random((2, 6, 64, 64)), jnp.float32)
+        full = model.apply(vars_, x, train=False)
+        f2d = model.apply(vars_, x, train=False, method=MultiDimStacker.forward_2d)
+        assert f2d.shape == (2, 2, 2, 2, 16)  # (B, stacks, h, w, C3d)
+        f3d = model.apply(vars_, f2d, train=False, method=MultiDimStacker.forward_3d)
+        assert f3d.shape == (2, 2, 2, 32)  # (B, h, w, stacks*proj)
+        head = model.apply(vars_, f3d, train=False, method=MultiDimStacker.forward_head)
+        np.testing.assert_allclose(np.asarray(head), np.asarray(full), rtol=1e-5)
+
+    def test_train_mode_mutates_batch_stats(self, model_and_vars):
+        model, vars_, x = model_and_vars
+        out, mutated = model.apply(
+            vars_, jnp.ones_like(x), train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        assert out.shape == (2, 2)
+        old = vars_["batch_stats"]["conv2d_projection_bn"]["BatchNorm_0"]["mean"]
+        new = mutated["batch_stats"]["conv2d_projection_bn"]["BatchNorm_0"]["mean"]
+        assert not np.allclose(np.asarray(old), np.asarray(new))
+
+    def test_bf16_compute_f32_params(self):
+        model = tiny_stacker(dtype=jnp.bfloat16, drop_rate=0.0, drop_path_rate=0.0)
+        x = jnp.zeros((1, 6, 32, 32), jnp.float32)
+        vars_ = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        leaves = jax.tree.leaves(vars_["params"])
+        assert all(p.dtype == jnp.float32 for p in leaves)
+        out = model.apply(vars_, x, train=False)
+        assert out.dtype == jnp.float32  # head runs in f32 (GeM upcasts)
+
+
+def test_registry_builds_and_strips_timm_name():
+    model = build_model(
+        "multidim_stacker",
+        model_name="tf_efficientnetv2_test.in1k",
+        num_classes=3,
+        num_frames=3,
+        stack_size=3,
+        pretrained=True,  # must be ignored
+        num_3d_blocks=1,
+        num_3d_features=8,
+        num_3d_stack_proj=8,
+        expansion_3d_ratio=2,
+        se_reduce_3d_ratio=4,
+    )
+    assert model.model_name == "efficientnetv2_test"
+    x = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    vars_ = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert model.apply(vars_, x, train=False).shape == (1, 3)
+
+
+def test_multichan_stacker_forward():
+    from ball_action_spotting_tpu.models import MultiChanStacker
+
+    model = MultiChanStacker(
+        model_name="efficientnetv2_test", num_classes=2, num_frames=6,
+        stack_size=3, num_chans=3, num_3d_blocks=1, num_3d_features=8,
+        num_3d_stack_proj=8, expansion_3d_ratio=2, se_reduce_3d_ratio=4,
+    )
+    x = jnp.zeros((1, 6, 3, 32, 32), jnp.float32)
+    vars_ = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert model.apply(vars_, x, train=False).shape == (1, 2)
