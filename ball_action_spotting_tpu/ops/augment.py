@@ -1,0 +1,308 @@
+"""On-device training augmentations, pure JAX (vmapped, jit-fused).
+
+Replaces the reference's kornia GPU pipeline
+(``/root/reference/src/ball_action/augmentations.py:10-21`` +
+``src/augmentations.py`` RandomCameraMove), preserving its op set and
+parameter distributions:
+
+  CameraMove p=.2 · Rotation ±2.5° p=.3 · ResizedCrop scale(.9,1) p=.8 ·
+  HFlip p=.5 · Sharpness p=.2 · MotionBlur k11 p=.2 · Brightness(.8,1.2)
+  p=.3 · Contrast(.8,1.2) p=.3 · Posterize 3bit p=.2 · GaussNoise σ=.05 p=.2
+
+TPU-first departure: all geometric ops (camera-move per-frame interpolated
+affine, rotation, resized-crop, hflip) compose into ONE 3×3 matrix per frame
+and a single bilinear resample — the reference warps the clip up to three
+times (kornia chains separate warps), tripling HBM traffic and interpolation
+blur. Photometric ops are elementwise and fuse into the same XLA program.
+
+Everything is shape-static and batched: input (B, T, H, W) float in [0,1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    # camera move (two interpolated affine states across the clip)
+    camera_move_p: float = 0.2
+    camera_degrees: float = 2.5
+    camera_translate: tuple[float, float] = (0.1, 0.05)
+    camera_scale: tuple[float, float] = (0.95, 1.05)
+    # whole-clip geometric ops
+    rotation_p: float = 0.3
+    rotation_degrees: float = 2.5
+    crop_p: float = 0.8
+    crop_scale: tuple[float, float] = (0.9, 1.0)
+    crop_ratio_jitter: float = 0.1
+    hflip_p: float = 0.5
+    # photometric
+    sharpness_p: float = 0.2
+    sharpness: float = 1.0
+    motion_blur_p: float = 0.2
+    motion_blur_kernel: int = 11
+    motion_blur_angle: float = 7.5
+    motion_blur_direction: float = 1.0
+    brightness_p: float = 0.3
+    brightness: tuple[float, float] = (0.8, 1.2)
+    contrast_p: float = 0.3
+    contrast: tuple[float, float] = (0.8, 1.2)
+    posterize_p: float = 0.2
+    posterize_bits: int = 3
+    noise_p: float = 0.2
+    noise_std: float = 0.05
+
+
+# --- affine matrix helpers (3x3, forward transforms on (x, y, 1)) -----------
+
+
+def _translation(tx, ty):
+    z, o = jnp.zeros_like(tx), jnp.ones_like(tx)
+    return jnp.stack(
+        [jnp.stack([o, z, tx], -1), jnp.stack([z, o, ty], -1),
+         jnp.stack([z, z, o], -1)], -2
+    )
+
+
+def _rotation_scale_about(cx, cy, angle_deg, sx, sy):
+    """T(c) · R(θ) · S · T(-c)."""
+    theta = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    z, o = jnp.zeros_like(cos), jnp.ones_like(cos)
+    rs = jnp.stack(
+        [jnp.stack([cos * sx, -sin * sy, z], -1),
+         jnp.stack([sin * sx, cos * sy, z], -1),
+         jnp.stack([z, z, o], -1)], -2
+    )
+    return _translation(cx, cy) @ rs @ _translation(-cx, -cy)
+
+
+def _hflip_matrix(width, flip):
+    """Identity or x → W-1-x, selected by boolean ``flip``."""
+    a = jnp.where(flip, -1.0, 1.0)
+    t = jnp.where(flip, width - 1.0, 0.0)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [jnp.stack([a, z, t], -1), jnp.stack([z, o, z], -1),
+         jnp.stack([z, z, o], -1)], -2
+    )
+
+
+def _crop_matrix(x0, y0, cw, ch, width, height):
+    """Map crop box [x0, x0+cw)×[y0, y0+ch) onto the full canvas."""
+    sx = width / cw
+    sy = height / ch
+    z, o = jnp.zeros_like(sx), jnp.ones_like(sx)
+    return jnp.stack(
+        [jnp.stack([sx, z, -x0 * sx], -1), jnp.stack([z, sy, -y0 * sy], -1),
+         jnp.stack([z, z, o], -1)], -2
+    )
+
+
+def bilinear_warp(img: jax.Array, inv_mat: jax.Array) -> jax.Array:
+    """Sample ``img`` (H, W) at inv_mat · (x, y, 1) for each output pixel,
+    bilinear, zeros outside."""
+    h, w = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    sx = inv_mat[0, 0] * gx + inv_mat[0, 1] * gy + inv_mat[0, 2]
+    sy = inv_mat[1, 0] * gx + inv_mat[1, 1] * gy + inv_mat[1, 2]
+    return jax.scipy.ndimage.map_coordinates(
+        img, [sy, sx], order=1, mode="constant", cval=0.0
+    )
+
+
+def _lerp(a, b, t):
+    return a * (1.0 - t) + b * t
+
+
+# --- photometric helpers -----------------------------------------------------
+
+
+def _sharpness(clip, factor):
+    """Unsharp-mask blend (kornia RandomSharpness-style 3×3 smoothing)."""
+    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    blurred = _conv2d_same(clip, kernel)
+    return jnp.clip(_lerp(clip, blurred, -factor), 0.0, 1.0)
+
+
+def _conv2d_same(clip, kernel):
+    """(T, H, W) ⊛ (kh, kw), same padding, per-frame."""
+    t, h, w = clip.shape
+    lhs = clip[:, None]  # (T, 1, H, W)
+    rhs = kernel[None, None]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    return out[:, 0]
+
+
+def _motion_blur_kernel(rng, k: int, max_angle: float, direction: float):
+    """Line kernel of length k at a random angle; ``direction`` skews the
+    weights toward one end (kornia RandomMotionBlur semantics)."""
+    angle = jax.random.uniform(rng, (), minval=-max_angle, maxval=max_angle)
+    theta = jnp.deg2rad(angle)
+    c = (k - 1) / 2.0
+    ts = jnp.arange(k, dtype=jnp.float32) - c
+    xs = c + ts * jnp.cos(theta)
+    ys = c + ts * jnp.sin(theta)
+    # bilinear splat of the line into a k×k kernel
+    weights = jnp.linspace((1 - direction) / 2, (1 + direction) / 2, k)
+    kernel = jnp.zeros((k, k))
+    x0, y0 = jnp.floor(xs).astype(int), jnp.floor(ys).astype(int)
+    fx, fy = xs - x0, ys - y0
+    for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                        (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+        kernel = kernel.at[
+            jnp.clip(y0 + dy, 0, k - 1), jnp.clip(x0 + dx, 0, k - 1)
+        ].add(weights * wgt)
+    return kernel / jnp.sum(kernel)
+
+
+def _posterize(clip, bits: int):
+    levels = 2 ** bits
+    return jnp.floor(clip * (levels - 1) + 0.5) / (levels - 1)
+
+
+# --- the per-clip augmentation -----------------------------------------------
+
+
+def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """clip: (T, H, W) float in [0,1]."""
+    t, h, w = clip.shape
+    keys = jax.random.split(rng, 24)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+
+    # -- camera move: two affine endpoint states interpolated over T frames
+    # (reference src/augmentations.py:42-78)
+    k = iter(keys)
+    cam_apply = jax.random.bernoulli(next(k), float(cfg.camera_move_p))
+    cam_angle = jax.random.uniform(next(k), (2,), minval=-cfg.camera_degrees,
+                                   maxval=cfg.camera_degrees)
+    cam_tx = jax.random.uniform(next(k), (2,), minval=-cfg.camera_translate[0] * w,
+                                maxval=cfg.camera_translate[0] * w)
+    cam_ty = jax.random.uniform(next(k), (2,), minval=-cfg.camera_translate[1] * h,
+                                maxval=cfg.camera_translate[1] * h)
+    cam_scale = jax.random.uniform(next(k), (2,), minval=cfg.camera_scale[0],
+                                   maxval=cfg.camera_scale[1])
+    ts = jnp.linspace(0.0, 1.0, t)
+    ang_t = jnp.where(cam_apply, _lerp(cam_angle[0], cam_angle[1], ts), 0.0)
+    tx_t = jnp.where(cam_apply, _lerp(cam_tx[0], cam_tx[1], ts), 0.0)
+    ty_t = jnp.where(cam_apply, _lerp(cam_ty[0], cam_ty[1], ts), 0.0)
+    sc_t = jnp.where(cam_apply, _lerp(cam_scale[0], cam_scale[1], ts), 1.0)
+    cam_mats = _translation(tx_t, ty_t) @ _rotation_scale_about(
+        jnp.full((t,), cx), jnp.full((t,), cy), ang_t, sc_t, sc_t
+    )  # (T, 3, 3)
+
+    # -- whole-clip rotation
+    rot_apply = jax.random.bernoulli(next(k), float(cfg.rotation_p))
+    rot_angle = jnp.where(
+        rot_apply,
+        jax.random.uniform(next(k), (), minval=-cfg.rotation_degrees,
+                           maxval=cfg.rotation_degrees),
+        0.0,
+    )
+    rot_mat = _rotation_scale_about(jnp.asarray(cx), jnp.asarray(cy), rot_angle,
+                                    jnp.asarray(1.0), jnp.asarray(1.0))
+
+    # -- resized crop (area scale + aspect jitter + random position)
+    crop_apply = jax.random.bernoulli(next(k), float(cfg.crop_p))
+    area = jax.random.uniform(next(k), (), minval=cfg.crop_scale[0],
+                              maxval=cfg.crop_scale[1])
+    aspect = 1.0 + jax.random.uniform(next(k), (), minval=-cfg.crop_ratio_jitter,
+                                      maxval=cfg.crop_ratio_jitter)
+    cw = jnp.minimum(w * jnp.sqrt(area * aspect), float(w))
+    ch = jnp.minimum(h * jnp.sqrt(area / aspect), float(h))
+    cw = jnp.where(crop_apply, cw, float(w))
+    ch = jnp.where(crop_apply, ch, float(h))
+    px, py = jax.random.uniform(next(k), (2,))
+    x0 = px * (w - cw)
+    y0 = py * (h - ch)
+    crop_mat = _crop_matrix(x0, y0, cw, ch, float(w), float(h))
+
+    # -- hflip
+    flip = jax.random.bernoulli(next(k), float(cfg.hflip_p))
+    flip_mat = _hflip_matrix(float(w), flip)
+
+    # compose (applied in reference order: camera → rotation → crop → flip)
+    # forward: F = flip · crop · rot · cam(t); warp samples at F^{-1}
+    fwd = flip_mat @ crop_mat @ rot_mat  # (3,3)
+    fwd_t = fwd[None] @ cam_mats  # (T,3,3)
+    inv_t = jnp.linalg.inv(fwd_t)
+    clip = jax.vmap(bilinear_warp)(clip, inv_t)
+
+    # -- sharpness
+    sharp_apply = jax.random.bernoulli(next(k), float(cfg.sharpness_p))
+    sharp_factor = jnp.where(
+        sharp_apply,
+        jax.random.uniform(next(k), (), minval=0.0, maxval=cfg.sharpness),
+        0.0,
+    )
+    clip = _sharpness(clip, sharp_factor)
+
+    # -- motion blur (shared kernel across the clip, like kornia per-sample)
+    blur_apply = jax.random.bernoulli(next(k), float(cfg.motion_blur_p))
+    kernel = _motion_blur_kernel(
+        next(k), cfg.motion_blur_kernel, cfg.motion_blur_angle,
+        cfg.motion_blur_direction,
+    )
+    identity = jnp.zeros_like(kernel).at[
+        cfg.motion_blur_kernel // 2, cfg.motion_blur_kernel // 2
+    ].set(1.0)
+    kernel = jnp.where(blur_apply, kernel, identity)
+    clip = _conv2d_same(clip, kernel)
+
+    # -- brightness (multiplicative) & contrast (about per-clip mean)
+    bright_apply = jax.random.bernoulli(next(k), float(cfg.brightness_p))
+    bright = jnp.where(
+        bright_apply,
+        jax.random.uniform(next(k), (), minval=cfg.brightness[0],
+                           maxval=cfg.brightness[1]),
+        1.0,
+    )
+    clip = jnp.clip(clip * bright, 0.0, 1.0)
+
+    contrast_apply = jax.random.bernoulli(next(k), float(cfg.contrast_p))
+    contrast = jnp.where(
+        contrast_apply,
+        jax.random.uniform(next(k), (), minval=cfg.contrast[0],
+                           maxval=cfg.contrast[1]),
+        1.0,
+    )
+    mean = jnp.mean(clip)
+    clip = jnp.clip(mean + (clip - mean) * contrast, 0.0, 1.0)
+
+    # -- posterize
+    post_apply = jax.random.bernoulli(next(k), float(cfg.posterize_p))
+    clip = jnp.where(post_apply, _posterize(clip, cfg.posterize_bits), clip)
+
+    # -- gaussian noise
+    noise_apply = jax.random.bernoulli(next(k), float(cfg.noise_p))
+    noise = jax.random.normal(next(k), clip.shape) * cfg.noise_std
+    clip = jnp.clip(clip + jnp.where(noise_apply, noise, 0.0), 0.0, 1.0)
+
+    return clip
+
+
+def make_augment_fn(cfg: Optional[AugmentConfig] = None):
+    """Returns augment_fn(rng, x (B,T,H,W)) — per-sample randomness via vmap,
+    jit-safe (call inside the train step)."""
+    cfg = cfg or AugmentConfig()
+
+    def augment(rng: jax.Array, x: jax.Array) -> jax.Array:
+        rngs = jax.random.split(rng, x.shape[0])
+        return jax.vmap(lambda r, c: _augment_clip(r, c, cfg))(rngs, x)
+
+    return augment
+
+
+def get_train_augmentations(size=None, cfg: Optional[AugmentConfig] = None):
+    """Reference-parity factory name (``ball_action/augmentations.py:7``);
+    ``size`` is unused — ops are resolution-independent here."""
+    return make_augment_fn(cfg)

@@ -1,0 +1,270 @@
+"""Training engine: the fit loop.
+
+The idiomatic-JAX replacement for the pytorch-argus engine the reference
+delegates to (``/root/reference/src/argus_models.py`` +
+``scripts/ball_action/train.py:127-163``): builds the model/loss/optimizer
+from a reference-style config dict, runs warmup+train stages as one fused LR
+schedule, accumulates per-class metrics on host, logs per epoch to
+log.txt/log.csv, and checkpoints the best-by-val-AP EMA weights.
+
+Data parallel by construction: the jitted train step consumes the global
+batch laid out over the mesh's data axis (GSPMD inserts the gradient
+all-reduce over ICI); state is replicated.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ball_action_spotting_tpu.models import build_model
+from ball_action_spotting_tpu.ops.losses import build_loss
+from ball_action_spotting_tpu.parallel import mesh as mesh_lib
+from ball_action_spotting_tpu.train import checkpoint as ckpt_lib
+from ball_action_spotting_tpu.train.metrics import Accuracy, AveragePrecision
+from ball_action_spotting_tpu.train.optim import build_optimizer
+from ball_action_spotting_tpu.train.schedules import get_lr, warmup_cosine
+from ball_action_spotting_tpu.train.state import TrainState
+from ball_action_spotting_tpu.train.steps import (
+    make_predict_step,
+    make_train_step,
+    make_val_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _setup_file_logging(save_dir: Path) -> logging.Logger:
+    lg = logging.getLogger(f"bas_tpu.train.{save_dir}")
+    lg.setLevel(logging.INFO)
+    lg.handlers.clear()
+    save_dir.mkdir(parents=True, exist_ok=True)
+    fh = logging.FileHandler(save_dir / "log.txt")
+    fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s: %(message)s"))
+    sh = logging.StreamHandler()
+    sh.setFormatter(logging.Formatter("%(message)s"))
+    lg.addHandler(fh)
+    lg.addHandler(sh)
+    lg.propagate = False
+    return lg
+
+
+class CsvLogger:
+    """Per-epoch metric rows (reference argus LoggingToCSV). Columns can
+    grow between stages (warmup rows carry no val metrics), so the file is
+    rewritten with the union of fieldnames — epoch-granularity, cheap."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self._rows: list[dict] = []
+        self._fieldnames: list[str] = []
+
+    def log(self, row: dict) -> None:
+        self._rows.append(dict(row))
+        for key in row:
+            if key not in self._fieldnames:
+                self._fieldnames.append(key)
+        with open(self.path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            writer.writeheader()
+            writer.writerows(self._rows)
+
+
+class Trainer:
+    """Build-and-fit driver for one experiment stage set.
+
+    ``config`` is a reference-style experiment dict (see ``configs/``);
+    ``classes`` the domain classes; batches come from ``ClipLoader``-style
+    iterables yielding (uint8 frames (B,T,H,W), float32 targets (B,C)).
+    """
+
+    def __init__(
+        self,
+        config: dict,
+        classes: list[str],
+        save_dir: Path,
+        augment_fn: Optional[Callable] = None,
+        mixup_fn: Optional[Callable] = None,
+        mesh=None,
+        steps_per_epoch: Optional[int] = None,
+        max_saves: int = 1,
+        seed: int = 0,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.config = config
+        self.classes = classes
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = _setup_file_logging(self.save_dir)
+        self.csv_logger = CsvLogger(self.save_dir / "log.csv")
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.seed = seed
+
+        ap = config["argus_params"]
+        nn_name, nn_kwargs = ap["nn_module"]
+        self.model = build_model(nn_name, dtype=compute_dtype, **nn_kwargs)
+        self.loss = build_loss(ap["loss"][0], **ap["loss"][1])
+        self.batch_size = config["batch_size"]
+        self.image_size = tuple(ap["image_size"])  # (W, H)
+        self.frame_stack_size = ap["frame_stack_size"]
+
+        # one fused schedule over all stages (warmup → cosine)
+        steps_per_epoch = steps_per_epoch or (
+            config["train_epoch_size"] // config["batch_size"]
+        )
+        self.steps_per_epoch = steps_per_epoch
+        stages = list(zip(config["num_epochs"], config["stages"]))
+        warmup_epochs = sum(n for n, s in stages if s == "warmup")
+        train_epochs = sum(n for n, s in stages if s == "train")
+        self.stage_epochs = {"warmup": warmup_epochs, "train": train_epochs}
+        opt_name, opt_kwargs = ap["optimizer"]
+        base_lr = opt_kwargs.get("lr", 1e-3)
+        min_lr = get_lr(config.get("min_base_lr", 0.0), config["batch_size"])
+        schedule = warmup_cosine(
+            base_lr,
+            max(min_lr, 1e-8),
+            warmup_steps=warmup_epochs * steps_per_epoch,
+            cosine_steps=max(1, train_epochs * steps_per_epoch),
+        )
+        opt_kwargs = {k: v for k, v in opt_kwargs.items() if k != "lr"}
+        self.tx = build_optimizer(
+            opt_name,
+            opt_kwargs,
+            schedule=schedule,
+            freeze_conv2d_encoder=bool(ap.get("freeze_conv2d_encoder", False)),
+        )
+
+        self.ema_decay = config.get("ema_decay", 0.999)
+        self.train_step = jax.jit(
+            make_train_step(
+                self.model,
+                self.loss,
+                self.tx,
+                ema_decay=self.ema_decay,
+                augment_fn=augment_fn,
+                mixup_fn=mixup_fn,
+                iter_size=int(ap.get("iter_size", 1)),
+            ),
+            donate_argnums=0,
+        )
+        self.val_step = jax.jit(make_val_step(self.model, self.loss))
+        self.predict_step = jax.jit(make_predict_step(self.model))
+
+        self.ckpt_manager = ckpt_lib.CheckpointManager(self.save_dir, max_saves=max_saves)
+        self.monitor = "val_average_precision"
+        self.state: Optional[TrainState] = None
+
+    # --- state/initialization -------------------------------------------
+
+    def init_state(self, pretrain_variables: Optional[dict] = None) -> TrainState:
+        h, w = self.image_size[1], self.image_size[0]
+        x = jnp.zeros((1, self.frame_stack_size, h, w), jnp.float32)
+        variables = self.model.init({"params": jax.random.PRNGKey(self.seed)}, x, train=False)
+        if pretrain_variables is not None:
+            variables = ckpt_lib.transfer_weights(dict(variables), pretrain_variables)
+        state = TrainState.create(variables, self.tx)
+        self.state = mesh_lib.replicate_state(state, self.mesh)
+        return self.state
+
+    # --- epochs -----------------------------------------------------------
+
+    def _device_batches(self, loader, epoch: int):
+        from ball_action_spotting_tpu.data.loader import prefetch_to_device
+
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        n_dev = int(np.prod(self.mesh.devices.shape))
+
+        def padded():
+            iterator = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
+            for frames, targets in iterator:
+                frames, targets, valid = mesh_lib.pad_batch_to_devices(
+                    frames, targets, n_dev
+                )
+                yield frames, targets
+
+        return prefetch_to_device(padded(), sharding)
+
+    def train_epoch(self, loader, epoch: int) -> dict:
+        assert self.state is not None, "call init_state first"
+        rng = jax.random.PRNGKey(self.seed + 1)
+        losses = []
+        t0 = time.time()
+        n = 0
+        for frames, targets in self._device_batches(loader, epoch):
+            self.state, aux = self.train_step(self.state, frames, targets, rng)
+            losses.append(aux["loss"])
+            n += frames.shape[0]
+        losses = [float(l) for l in losses]
+        dt = time.time() - t0
+        return {
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_samples_per_sec": n / dt if dt > 0 else 0.0,
+        }
+
+    def val_epoch(self, loader, epoch: int = 0) -> dict:
+        assert self.state is not None
+        metrics = [AveragePrecision(self.classes),
+                   Accuracy(self.classes, self.config.get("metric_accuracy_threshold", 0.5))]
+        losses = []
+        for frames, targets in self._device_batches(loader, epoch):
+            out = self.val_step(self.state, frames, targets)
+            losses.append(float(out["loss"]))
+            for m in metrics:
+                m.update(out)
+        results = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
+        for m in metrics:
+            results.update(m.results("val_"))
+        return results
+
+    # --- fit ---------------------------------------------------------------
+
+    def fit(self, train_loader, val_loader=None, pretrain_variables=None) -> dict:
+        """Run all configured stages; returns the best epoch's metrics."""
+        if self.state is None:
+            self.init_state(pretrain_variables)
+        best = {self.monitor: -np.inf}
+        epoch = 0
+        for num_epochs, stage in zip(self.config["num_epochs"], self.config["stages"]):
+            self.logger.info(f"Stage '{stage}': {num_epochs} epochs")
+            for _ in range(num_epochs):
+                row = {"epoch": epoch, "stage": stage}
+                row.update(self.train_epoch(train_loader, epoch))
+                if stage == "train" and val_loader is not None:
+                    row.update(self.val_epoch(val_loader, epoch))
+                    score = row.get(self.monitor, -np.inf)
+                    self.ckpt_manager.save(
+                        epoch,
+                        score,
+                        self._params_dict(),
+                        self.state.model_variables(ema=True),
+                        self.state.model_variables(ema=False),
+                    )
+                    if score > best.get(self.monitor, -np.inf):
+                        best = dict(row)
+                self.logger.info(
+                    " ".join(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}"
+                             for k, v in row.items())
+                )
+                self.csv_logger.log(row)
+                epoch += 1
+        return best
+
+    def _params_dict(self) -> dict:
+        ap = dict(self.config["argus_params"])
+        return {
+            "nn_module": list(ap["nn_module"]),
+            "loss": list(ap["loss"]),
+            "optimizer": list(ap["optimizer"]),
+            "image_size": list(self.image_size),
+            "frame_stack_size": ap["frame_stack_size"],
+            "frame_stack_step": ap["frame_stack_step"],
+            "frames_processor": list(ap["frames_processor"]),
+            "freeze_conv2d_encoder": bool(ap.get("freeze_conv2d_encoder", False)),
+        }

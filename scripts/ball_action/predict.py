@@ -1,0 +1,63 @@
+"""Ball-action prediction CLI: per-fold CV/challenge whole-video inference.
+
+Parity: ``/root/reference/scripts/ball_action/predict.py`` (TTA on by
+default for ball). Engine defaults to the TPU-batched chunked predictor.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from ball_action_spotting_tpu.domains import ball
+from ball_action_spotting_tpu.predict.pipeline import predict_games
+from ball_action_spotting_tpu.train.checkpoint import get_best_checkpoint_path
+
+RESOLUTION = "720p"
+TTA = True
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiment", required=True, type=str)
+    parser.add_argument("--folds", default="all", type=str)
+    parser.add_argument("--challenge", action="store_true")
+    parser.add_argument("--use_saved_predictions", action="store_true")
+    parser.add_argument("--engine", default="chunked",
+                        choices=["chunked", "streaming"])
+    return parser.parse_args()
+
+
+def predict_fold(args, fold, domain):
+    experiment_dir = domain.experiments_dir / args.experiment / f"fold_{fold}"
+    model_path = get_best_checkpoint_path(experiment_dir)
+    if model_path is None and not args.use_saved_predictions:
+        raise FileNotFoundError(f"No checkpoint in {experiment_dir}")
+    print(f"Predict fold {fold}, model {model_path}")
+    if args.challenge:
+        games = ball.challenge_games
+        prediction_dir = (
+            domain.predictions_dir / args.experiment / "challenge" / f"fold_{fold}"
+        )
+    else:
+        games = ball.fold2games[fold]
+        prediction_dir = (
+            domain.predictions_dir / args.experiment / "cv" / f"fold_{fold}"
+        )
+    predict_games(
+        model_path, games, domain, prediction_dir,
+        engine=args.engine, tta=TTA, use_saved=args.use_saved_predictions,
+        resolution=RESOLUTION,
+    )
+
+
+def main():
+    args = parse_arguments()
+    folds = ball.folds if args.folds == "all" else [int(f) for f in args.folds.split(",")]
+    for fold in folds:
+        predict_fold(args, fold, ball.DOMAIN)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ball_action_spotting_tpu.ops.augment import (
+    AugmentConfig,
+    _hflip_matrix,
+    _motion_blur_kernel,
+    _posterize,
+    bilinear_warp,
+    make_augment_fn,
+)
+
+
+def test_bilinear_warp_identity():
+    img = jnp.asarray(np.random.default_rng(0).random((8, 12)), jnp.float32)
+    out = bilinear_warp(img, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_bilinear_warp_translation_zero_fill():
+    img = jnp.ones((4, 4), jnp.float32)
+    # inverse map: sample source at x+2 → shifts image left by 2, zeros at right
+    inv = jnp.asarray([[1.0, 0, 2.0], [0, 1.0, 0], [0, 0, 1.0]])
+    out = np.asarray(bilinear_warp(img, inv))
+    assert out[:, :2].min() == 1.0
+    assert out[:, 3].max() == 0.0
+
+
+def test_hflip_matrix_flips():
+    img = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    m = _hflip_matrix(4.0, jnp.asarray(True))
+    out = np.asarray(bilinear_warp(img, jnp.linalg.inv(m)))
+    np.testing.assert_allclose(out, np.asarray(img)[:, ::-1], atol=1e-5)
+    m_id = _hflip_matrix(4.0, jnp.asarray(False))
+    out_id = np.asarray(bilinear_warp(img, jnp.linalg.inv(m_id)))
+    np.testing.assert_allclose(out_id, np.asarray(img), atol=1e-5)
+
+
+def test_motion_blur_kernel_normalized():
+    kern = _motion_blur_kernel(jax.random.PRNGKey(0), 11, 7.5, 1.0)
+    assert kern.shape == (11, 11)
+    np.testing.assert_allclose(float(kern.sum()), 1.0, atol=1e-6)
+    assert float(kern.min()) >= 0.0
+
+
+def test_posterize_levels():
+    x = jnp.linspace(0, 1, 100)
+    out = np.asarray(_posterize(x, 3))
+    assert len(np.unique(out)) <= 8
+
+
+def test_augment_shapes_and_determinism():
+    fn = make_augment_fn()
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 32, 48)), jnp.float32)
+    a = fn(jax.random.PRNGKey(1), x)
+    b = fn(jax.random.PRNGKey(1), x)
+    c = fn(jax.random.PRNGKey(2), x)
+    assert a.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+
+
+def test_augment_identity_when_all_probs_zero():
+    cfg = AugmentConfig(
+        camera_move_p=0, rotation_p=0, crop_p=0, hflip_p=0, sharpness_p=0,
+        motion_blur_p=0, brightness_p=0, contrast_p=0, posterize_p=0, noise_p=0,
+    )
+    fn = make_augment_fn(cfg)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 16, 24)), jnp.float32)
+    out = fn(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_augment_under_jit():
+    fn = make_augment_fn()
+    x = jnp.asarray(np.random.default_rng(0).random((2, 3, 16, 24)), jnp.float32)
+    jitted = jax.jit(fn)
+    out = jitted(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
