@@ -143,6 +143,41 @@ def resolve_pretrain_variables(path: Path, use_ema: bool = True) -> tuple[dict, 
     return load_checkpoint(path, use_ema=use_ema)
 
 
+def save_train_state(path: Path, state, epoch: int, best: dict | None = None) -> None:
+    """Persist the FULL training state (params, BN stats, optimizer, EMA,
+    step) for mid-run resume — a capability the reference lacks (SURVEY §5:
+    'no checkpoint-based resume of interrupted training')."""
+    import jax
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    header = json.dumps({"epoch": epoch, "best": best or {}}).encode()
+    blob = serialization.to_bytes(jax.tree.map(np.asarray, state))
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        for b in (header, blob, b""):
+            f.write(_struct.pack("<Q", len(b)))
+            f.write(b)
+    tmp.replace(path)  # atomic: a crash mid-write never corrupts the resume point
+
+
+def load_train_state(path: Path, state_template) -> tuple[Any, int, dict]:
+    """Restore a train state saved by ``save_train_state`` into the
+    structure of ``state_template`` (a freshly initialized TrainState).
+    Returns (state, next_epoch, best)."""
+    with open(path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(f"Not a bas-tpu train state: {path}")
+        blobs = []
+        for _ in range(3):
+            (n,) = _struct.unpack("<Q", f.read(8))
+            blobs.append(f.read(n))
+    header = json.loads(blobs[0].decode())
+    state = serialization.from_bytes(state_template, blobs[1])
+    return state, int(header["epoch"]) + 1, header.get("best", {})
+
+
 def snapshot_experiment(save_dir: Path, config: dict, extra_files: dict[str, str] | None = None) -> None:
     """Persist the resolved config (+ any source snapshots) into the
     experiment dir for reproducibility

@@ -225,35 +225,57 @@ class Trainer:
 
     # --- fit ---------------------------------------------------------------
 
-    def fit(self, train_loader, val_loader=None, pretrain_variables=None) -> dict:
-        """Run all configured stages; returns the best epoch's metrics."""
+    def fit(self, train_loader, val_loader=None, pretrain_variables=None,
+            resume: bool = True) -> dict:
+        """Run all configured stages; returns the best epoch's metrics.
+
+        With ``resume=True`` (default), an interrupted run restarts from the
+        last completed epoch via the full-state checkpoint
+        ``train_state.msgpack`` — mid-run recovery the reference lacks.
+        """
         if self.state is None:
             self.init_state(pretrain_variables)
+        resume_path = self.save_dir / "train_state.msgpack"
         best = {self.monitor: -np.inf}
-        epoch = 0
-        for num_epochs, stage in zip(self.config["num_epochs"], self.config["stages"]):
-            self.logger.info(f"Stage '{stage}': {num_epochs} epochs")
-            for _ in range(num_epochs):
-                row = {"epoch": epoch, "stage": stage}
-                row.update(self.train_epoch(train_loader, epoch))
-                if stage == "train" and val_loader is not None:
-                    row.update(self.val_epoch(val_loader, epoch))
-                    score = row.get(self.monitor, -np.inf)
-                    self.ckpt_manager.save(
-                        epoch,
-                        score,
-                        self._params_dict(),
-                        self.state.model_variables(ema=True),
-                        self.state.model_variables(ema=False),
-                    )
-                    if score > best.get(self.monitor, -np.inf):
-                        best = dict(row)
-                self.logger.info(
-                    " ".join(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}"
-                             for k, v in row.items())
+        start_epoch = 0
+        if resume and resume_path.exists():
+            self.state, start_epoch, best = ckpt_lib.load_train_state(
+                resume_path, self.state
+            )
+            self.state = mesh_lib.replicate_state(self.state, self.mesh)
+            self.logger.info(f"Resumed from {resume_path} at epoch {start_epoch}")
+
+        epochs = [
+            stage
+            for num_epochs, stage in zip(self.config["num_epochs"], self.config["stages"])
+            for _ in range(num_epochs)
+        ]
+        for epoch, stage in enumerate(epochs):
+            if epoch < start_epoch:
+                continue
+            row = {"epoch": epoch, "stage": stage}
+            row.update(self.train_epoch(train_loader, epoch))
+            if stage == "train" and val_loader is not None:
+                row.update(self.val_epoch(val_loader, epoch))
+                score = row.get(self.monitor, -np.inf)
+                self.ckpt_manager.save(
+                    epoch,
+                    score,
+                    self._params_dict(),
+                    self.state.model_variables(ema=True),
+                    self.state.model_variables(ema=False),
                 )
-                self.csv_logger.log(row)
-                epoch += 1
+                if score > best.get(self.monitor, -np.inf):
+                    best = dict(row)
+            self.logger.info(
+                " ".join(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}"
+                         for k, v in row.items())
+            )
+            self.csv_logger.log(row)
+            if resume:
+                ckpt_lib.save_train_state(resume_path, self.state, epoch, best)
+        if resume and resume_path.exists() and epochs:
+            resume_path.unlink()  # run completed; drop the resume point
         return best
 
     def _params_dict(self) -> dict:

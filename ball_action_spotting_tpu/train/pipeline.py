@@ -165,11 +165,14 @@ def train_stage(config: dict, domain: Domain, save_dir: Path,
     train_loader = ClipLoader(train_dataset, config["batch_size"], num_workers=workers)
     val_loader = ClipLoader(val_dataset, config["batch_size"], num_workers=workers)
 
+    from ball_action_spotting_tpu.ops.mixup import make_mixup_fn
+
     trainer = Trainer(
         config,
         list(domain.classes),
         save_dir,
         augment_fn=get_train_augmentations(tuple(config["image_size"])),
+        mixup_fn=make_mixup_fn(config.get("mixup_params")),
         mesh=mesh,
         seed=seed,
         max_saves=max_saves,
