@@ -235,7 +235,10 @@ def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Ar
     fwd = flip_mat @ crop_mat @ rot_mat  # (3,3)
     fwd_t = fwd[None] @ cam_mats  # (T,3,3)
     inv_t = jnp.linalg.inv(fwd_t)
-    clip = jax.vmap(bilinear_warp)(clip, inv_t)
+    # MXU-matmul warp: gathers (map_coordinates) cost seconds per clip on TPU
+    from ball_action_spotting_tpu.ops.warp import affine_warp_matmul
+
+    clip = jax.vmap(affine_warp_matmul)(clip, inv_t)
 
     # -- sharpness
     sharp_apply = jax.random.bernoulli(next(k), float(cfg.sharpness_p))
