@@ -194,8 +194,12 @@ def make_synthetic_video_data(
 
 
 def open_source(video_data: dict) -> FrameSource:
-    """FrameSource factory from a video_data dict (synthetic:// URIs resolve
-    to SyntheticSource with the annotated events as visual signal)."""
+    """FrameSource factory from a video_data dict.
+
+    Resolution order: synthetic:// URIs → SyntheticSource; a sibling
+    ``<video>.gray`` store (decode-once transcode) → GrayStoreSource;
+    otherwise OpenCV/FFmpeg decode.
+    """
     path = video_data["video_path"]
     if str(path).startswith("synthetic://"):
         classes = video_data.get("classes")
@@ -213,4 +217,11 @@ def open_source(video_data: dict) -> FrameSource:
             seed=video_data.get("synthetic_seed", 0),
             events=events,
         )
+    from pathlib import Path as _Path
+
+    gray = _Path(str(path) + ".gray")
+    if gray.exists():
+        from ball_action_spotting_tpu.data.gray_store import GrayStoreSource
+
+        return GrayStoreSource(gray)
     return OpenCVSource(path)

@@ -78,16 +78,27 @@ class GeneralizedMeanPooling(nn.Module):
     """GeM pooling: ``mean(clamp(x, eps)^p)^(1/p)`` over spatial dims, with a
     learnable scalar ``p`` (reference ``multidim_stacker.py:20-50``).
 
-    Input (B, H, W, C) → output (B, C). Computed in float32: the pow/log
-    chain is precision-sensitive at p=3.
+    Input (B, H, W, C) → output (B, C), float32 (the pow/log chain is
+    precision-sensitive at p=3). On TPU with lane-aligned channels the
+    fused Pallas kernel (``ops/pallas_gem.py``) runs the whole chain in one
+    VMEM pass; elsewhere the jnp path applies.
     """
 
     p_init: float = 3.0
     eps: float = 1e-6
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
         p = self.param("p", lambda _: jnp.full((1,), self.p_init, jnp.float32))
+        if (
+            self.use_pallas
+            and jax.default_backend() == "tpu"
+            and x.shape[-1] % 128 == 0
+        ):
+            from ball_action_spotting_tpu.ops.pallas_gem import gem_pool
+
+            return gem_pool(x, p, self.eps)
         x = x.astype(jnp.float32)
         x = jnp.clip(x, min=self.eps) ** p
         x = jnp.mean(x, axis=(1, 2))

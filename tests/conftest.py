@@ -13,6 +13,18 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's sitecustomize imports jax and points it at the remote
+# TPU; a pytest plugin may even initialize the backend before this conftest
+# runs. Force the CPU platform and drop any already-initialized backend.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except Exception:
+    pass
+assert jax.default_backend() == "cpu", jax.default_backend()
+
 import numpy as np
 import pytest
 

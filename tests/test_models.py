@@ -125,15 +125,18 @@ class TestMultiDimStacker:
 
     def test_train_mode_mutates_batch_stats(self, model_and_vars):
         model, vars_, x = model_and_vars
+        frames = jnp.asarray(
+            np.random.default_rng(5).random(x.shape), jnp.float32
+        )
         out, mutated = model.apply(
-            vars_, jnp.ones_like(x), train=True,
+            vars_, frames, train=True,
             rngs={"dropout": jax.random.PRNGKey(1)},
             mutable=["batch_stats"],
         )
         assert out.shape == (2, 2)
         old = vars_["batch_stats"]["conv2d_projection_bn"]["BatchNorm_0"]["mean"]
         new = mutated["batch_stats"]["conv2d_projection_bn"]["BatchNorm_0"]["mean"]
-        assert not np.allclose(np.asarray(old), np.asarray(new))
+        assert not np.array_equal(np.asarray(old), np.asarray(new))
 
     def test_bf16_compute_f32_params(self):
         model = tiny_stacker(dtype=jnp.bfloat16, drop_rate=0.0, drop_path_rate=0.0)
