@@ -19,10 +19,15 @@ from ball_action_spotting_tpu.models.blocks3d import (
 )
 from ball_action_spotting_tpu.models.multidim_stacker import MultiDimStacker
 from ball_action_spotting_tpu.models.multichan_stacker import MultiChanStacker
+from ball_action_spotting_tpu.models.classifier2d import Classifier2d
 
 MODEL_REGISTRY: dict[str, Any] = {
     "multidim_stacker": MultiDimStacker,
     "multichan_stacker": MultiChanStacker,
+    # plain 2D encoder+head — the reference registry's generic "timm" entry
+    # (src/argus_models.py:17-21)
+    "timm": Classifier2d,
+    "classifier2d": Classifier2d,
 }
 
 # Constructor kwargs the reference passes that have no Flax equivalent

@@ -147,12 +147,17 @@ class BatchNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # Batch-stat accumulation needs f32; inference is a pure affine
+        # normalize and runs in the compute dtype — avoids materializing f32
+        # copies of every activation map between bf16 convs (measured ~20%
+        # of encoder inference time).
+        bn_dtype = jnp.float32 if train else self.dtype
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
+            dtype=bn_dtype,
         )(x)
         if self.act is not None:
             x = self.act(x)

@@ -34,8 +34,8 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     height, width = (736, 1280) if on_tpu else (64, 96)
-    chunk_size = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 16))
-    num_chunks = int(os.environ.get("BENCH_CHUNKS", 16 if on_tpu else 2))
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 12 if on_tpu else 2))
 
     model = _flagship(jnp.bfloat16)
     x0 = jnp.zeros((1, 15, 64, 96), jnp.float32)
