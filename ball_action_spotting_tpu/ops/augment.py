@@ -133,14 +133,19 @@ def _sharpness(clip, factor):
 
 
 def _conv2d_same(clip, kernel):
-    """(T, H, W) ⊛ (kh, kw), same padding, per-frame."""
+    """(T, H, W) ⊛ (kh, kw), same padding, shared kernel across frames.
+
+    Frames ride the channel (lane) dim as a depthwise conv — a C=1 NCHW
+    conv wastes 127/128 lanes on TPU (measured 8× slower)."""
     t, h, w = clip.shape
-    lhs = clip[:, None]  # (T, 1, H, W)
-    rhs = kernel[None, None]
+    lhs = clip.transpose(1, 2, 0)[None]  # (1, H, W, T)
+    rhs = jnp.tile(kernel[:, :, None, None], (1, 1, 1, t))  # (kh, kw, 1, T)
     out = jax.lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        lhs, rhs, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=t,
     )
-    return out[:, 0]
+    return out[0].transpose(2, 0, 1)
 
 
 def _motion_blur_kernel(rng, k: int, max_angle: float, direction: float):
