@@ -111,6 +111,28 @@ def round_repeats(repeats: int, multiplier: float) -> int:
     return int(math.ceil(repeats * multiplier))
 
 
+def stem_kernel_to_s2d(kernel_hwio):
+    """Transform a (3, 3, C, O) stride-2 stem kernel into the equivalent
+    (2, 2, 4C, O) kernel for the space-to-depth stem (exact: output i of the
+    k3 s2 SAME conv reads input rows 2i..2i+2, i.e. s2d blocks i, i+1 with a
+    zero 4th tap)."""
+    import numpy as _np
+
+    k = _np.asarray(kernel_hwio)
+    kh, kw, c, o = k.shape
+    assert (kh, kw) == (3, 3), k.shape
+    k4 = _np.zeros((4, 4, c, o), k.dtype)
+    k4[:3, :3] = k
+    new = _np.zeros((2, 2, 4 * c, o), k.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    ch = dy * 2 * c + dx * c
+                    new[py, px, ch : ch + c] = k4[2 * py + dy, 2 * px + dx]
+    return new
+
+
 def resolve_arch(name: str) -> tuple[int, list[BlockDef]]:
     """Apply width/depth multipliers → concrete (stem_channels, stages)."""
     key = name.replace("tf_", "").split(".")[0]
@@ -308,6 +330,13 @@ class EfficientNetV2Features(nn.Module):
     bn_eps: float = 1e-3
     axis_name: str | None = None
     dtype: Any = jnp.float32
+    # Space-to-depth stem (MLPerf-style): rearrange 2×2 pixel blocks into
+    # channels so the stride-2 stem becomes a stride-1 2×2 conv over 4×
+    # the input channels — the 3-channel stem otherwise runs at ~1.5 TF/s
+    # because the MXU contraction dim (kh·kw·cin = 27) is mostly padding.
+    # Mathematically exact: stem weights transform bijectively
+    # (torch_import handles it for pretrained checkpoints).
+    stem_space_to_depth: bool = False
 
     @staticmethod
     def feature_channels(model_name: str, out_index: int) -> int:
@@ -334,10 +363,19 @@ class EfficientNetV2Features(nn.Module):
 
         total_blocks = sum(s.repeats for s in stages)
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            stem_ch, (3, 3), strides=2, padding="SAME", use_bias=False,
-            name="conv_stem", dtype=self.dtype,
-        )(x)
+        if self.stem_space_to_depth:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            x = nn.Conv(
+                stem_ch, (2, 2), strides=1, padding="SAME", use_bias=False,
+                name="conv_stem", dtype=self.dtype,
+            )(x)
+        else:
+            x = nn.Conv(
+                stem_ch, (3, 3), strides=2, padding="SAME", use_bias=False,
+                name="conv_stem", dtype=self.dtype,
+            )(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
 
         block_idx = 0

@@ -71,6 +71,7 @@ class MultiDimStacker(nn.Module):
     act_layer: str = "silu"
     axis_name: str | None = None
     dtype: Any = jnp.float32
+    stem_space_to_depth: bool = False
 
     @property
     def num_stacks(self) -> int:
@@ -94,6 +95,7 @@ class MultiDimStacker(nn.Module):
             act=act,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            stem_space_to_depth=self.stem_space_to_depth,
         )
         self.conv2d_projection_conv = nn.Conv(
             self.num_3d_features, (1, 1), use_bias=False,

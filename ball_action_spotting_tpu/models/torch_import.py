@@ -66,11 +66,16 @@ def _bn(sd: Mapping, prefix: str) -> tuple[dict, dict]:
 
 
 def convert_timm_effnetv2(
-    state_dict: Mapping, model_name: str, prefix: str = ""
+    state_dict: Mapping, model_name: str, prefix: str = "",
+    stem_space_to_depth: bool = False,
 ) -> tuple[dict, dict]:
     """timm EfficientNetV2 state_dict → (params, batch_stats) trees for
     ``EfficientNetV2Features``. ``prefix`` strips a leading module path
-    (e.g. ``"conv2d_encoder."`` inside a full reference checkpoint)."""
+    (e.g. ``"conv2d_encoder."`` inside a full reference checkpoint).
+    ``stem_space_to_depth`` applies the exact stem-kernel transform for the
+    space-to-depth stem variant."""
+    from ball_action_spotting_tpu.models.effnetv2 import stem_kernel_to_s2d
+
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
     _, stages = resolve_arch(model_name)
 
@@ -82,7 +87,10 @@ def convert_timm_effnetv2(
         if s:
             stats[name] = s
 
-    params["conv_stem"] = {"kernel": _conv2d(sd["conv_stem.weight"])}
+    stem = _conv2d(sd["conv_stem.weight"])
+    if stem_space_to_depth:
+        stem = stem_kernel_to_s2d(stem)
+    params["conv_stem"] = {"kernel": stem}
     bn_p, bn_s = _bn(sd, "bn1")
     put("bn1", bn_p, bn_s)
 
@@ -140,7 +148,8 @@ def _bn3d(sd: Mapping, prefix: str) -> tuple[dict, dict]:
 
 
 def convert_multidim_stacker(state_dict: Mapping, model_name: str,
-                             num_3d_blocks: int) -> dict:
+                             num_3d_blocks: int,
+                             stem_space_to_depth: bool = False) -> dict:
     """Full reference MultiDimStacker state_dict → flax variables
     {"params": ..., "batch_stats": ...}."""
     sd = {k: v for k, v in state_dict.items()}
@@ -148,7 +157,10 @@ def convert_multidim_stacker(state_dict: Mapping, model_name: str,
     if any(k.startswith("_orig_mod.") for k in sd):
         sd = {k.removeprefix("_orig_mod."): v for k, v in sd.items()}
 
-    enc_p, enc_s = convert_timm_effnetv2(sd, model_name, prefix="conv2d_encoder.")
+    enc_p, enc_s = convert_timm_effnetv2(
+        sd, model_name, prefix="conv2d_encoder.",
+        stem_space_to_depth=stem_space_to_depth,
+    )
     params: dict = {"conv2d_encoder": enc_p}
     stats: dict = {"conv2d_encoder": enc_s}
 
