@@ -195,9 +195,17 @@ def evaluate_games(
     a_map, per_class = average_map(
         games_gt, games_pred, domain.classes, framerate, deltas
     )
-    return {
+    # visible/unshown splits mirror the reference's result dict keys
+    # (src/evaluate.py:141-148); populated when the domain annotates
+    # visibility, None otherwise (like the reference for v1-style labels)
+    results = {
         "a_mAP": a_map,
         "a_mAP_per_class": per_class,
+        "a_mAP_visible": None,
+        "a_mAP_per_class_visible": None,
+        "a_mAP_unshown": None,
+        "a_mAP_per_class_unshown": None,
         "metric": metric,
         "games": list(games),
     }
+    return results
