@@ -33,7 +33,8 @@ class PerClassMetric:
 
     def results(self, prefix: str = "") -> dict[str, float]:
         scores = self.compute()
-        out = {f"{prefix}{self.name}": float(np.mean(scores))}
+        # classes absent from this val split score nan and drop out of the mean
+        out = {f"{prefix}{self.name}": float(np.nanmean(scores))}
         for i, cls in enumerate(self.classes):
             out[f"{prefix}{self.name}_{cls.lower()}"] = float(scores[i])
         return out
@@ -48,8 +49,13 @@ class AveragePrecision(PerClassMetric):
 
         y_true = np.concatenate(self.targets, axis=0)
         y_pred = np.concatenate(self.predictions, axis=0)
-        scores = average_precision_score(y_true, y_pred, average=None)
-        return np.atleast_1d(np.asarray(scores, dtype=np.float64)).tolist()
+        scores = []
+        for c in range(y_true.shape[1]):
+            if (y_true[:, c] > 0).any():
+                scores.append(float(average_precision_score(y_true[:, c], y_pred[:, c])))
+            else:
+                scores.append(float("nan"))
+        return scores
 
 
 class Accuracy(PerClassMetric):
