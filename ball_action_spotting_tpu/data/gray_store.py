@@ -146,12 +146,18 @@ class GrayStore:
             out[:] = self._mmap[start : start + count]
         return out
 
-    def gather(self, clip_indexes: np.ndarray) -> np.ndarray:
+    def gather(self, clip_indexes: np.ndarray,
+               out: Optional[np.ndarray] = None) -> np.ndarray:
         """(num_clips, frames_per_clip) int64 indexes → uint8 clips
-        (num_clips, frames_per_clip, H, W); out-of-range clamped."""
+        (num_clips, frames_per_clip, H, W); out-of-range clamped.
+        ``out`` lets callers assemble directly into a preallocated (pooled)
+        buffer — allocation page faults dominate at clip sizes."""
         clip_indexes = np.ascontiguousarray(clip_indexes, dtype=np.int64)
         nc, fpc = clip_indexes.shape
-        out = np.empty((nc, fpc, self.height, self.width), dtype=np.uint8)
+        if out is None:
+            out = np.empty((nc, fpc, self.height, self.width), dtype=np.uint8)
+        assert out.shape == (nc, fpc, self.height, self.width) and out.dtype == np.uint8
+        assert out.flags.c_contiguous
         if self._handle is not None:
             rc = self._lib.gray_store_gather(
                 self._handle,
@@ -201,6 +207,10 @@ class GrayStoreSource(FrameSource):
         # of decoding the covering range like codec-backed sources
         clip = np.asarray(indexes, dtype=np.int64)[None, :]
         return self.store.gather(clip)[0]
+
+    def fetch_frames_into(self, indexes: Sequence[int], out: np.ndarray) -> None:
+        clip = np.asarray(indexes, dtype=np.int64)[None, :]
+        self.store.gather(clip, out=out[None])
 
     def close(self) -> None:
         self.store.close()

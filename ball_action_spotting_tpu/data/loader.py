@@ -2,17 +2,23 @@
 
 Replaces the reference's rosny process pool + CUDA-IPC queues
 (``/root/reference/src/data_loaders/``). Decode runs in a thread pool —
-OpenCV/FFmpeg releases the GIL, so threads give process-pool throughput
-without spawn/IPC overhead — and finished samples are collated in completion
-order, exactly like the reference's unordered result queue
-(``base_data_loader.py:52-63``). ``prefetch_to_device`` overlaps host decode
-of batch N+1/N+2 with device compute of batch N via async ``device_put``
-(the TPU analog of the reference's decode-ahead workers).
+OpenCV/FFmpeg and the native gray-store gather release the GIL — and
+workers assemble WHOLE batches in place into pooled, reused uint8 buffers:
+per-sample ``np.stack`` collation costs more than the decode itself on TPU
+hosts (fresh 56 MB allocations page-fault at <1 GB/s), so frames are written
+exactly once, directly at their padded position in the batch.
 
-Each worker thread keeps a per-video ``FrameSource`` cache so the sequential
-decoder state survives across samples (the reference reopens the codec per
-sample, ``datasets.py:75-82`` — measurably wasteful; the sequential val
-loader ``sequential.py`` existed to avoid exactly that).
+Batches complete in whichever order workers finish, like the reference's
+unordered result queue (``base_data_loader.py:52-63``).
+
+Buffer lifetime: yielded arrays are views of a rotating per-worker pool and
+remain valid for at least ``POOL_DEPTH - queue capacity`` further iterations
+— consume (e.g. ``jax.device_put`` via ``prefetch_to_device``) before
+iterating on, or copy. ``copy_out=True`` opts into fresh arrays.
+
+``prefetch_to_device`` overlaps host assembly of batch N+1/N+2 with device
+compute of batch N via async ``device_put`` (the TPU analog of the
+reference's decode-ahead worker pool).
 """
 
 from __future__ import annotations
@@ -26,9 +32,38 @@ import numpy as np
 
 from ball_action_spotting_tpu.data.dataset import ClipDataset
 
+POOL_DEPTH = 4
+RESULT_QUEUE_BATCHES = 2
+
+
+class _BufferPool:
+    """Rotating (frames, targets) batch buffers, zeroed on first use."""
+
+    def __init__(self, batch_size: int, clip_len: int, height: int, width: int,
+                 num_classes: int):
+        self.frames = [
+            np.zeros((batch_size, clip_len, height, width), np.uint8)
+            for _ in range(POOL_DEPTH)
+        ]
+        self.targets = [
+            np.zeros((batch_size, num_classes), np.float32)
+            for _ in range(POOL_DEPTH)
+        ]
+        # last written native (h, w) per (slot, batch position): the padded
+        # border only needs re-zeroing when the source resolution changes
+        self.written: list[list[Optional[tuple[int, int]]]] = [
+            [None] * batch_size for _ in range(POOL_DEPTH)
+        ]
+        self._next = 0
+
+    def acquire(self):
+        slot = self._next
+        self._next = (self._next + 1) % POOL_DEPTH
+        return slot, self.frames[slot], self.targets[slot], self.written[slot]
+
 
 class ClipLoader:
-    """Iterable over collated (frames uint8 (B,T,H,W), targets f32 (B,C))."""
+    """Iterable over (frames uint8 (B,T,H,W), targets f32 (B,C)) batches."""
 
     def __init__(
         self,
@@ -37,12 +72,14 @@ class ClipLoader:
         num_workers: int = 4,
         drop_last: bool = False,
         source_cache_size: int = 4,
+        copy_out: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.source_cache_size = source_cache_size
+        self.copy_out = copy_out
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -50,15 +87,35 @@ class ClipLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    # --- worker side ---------------------------------------------------
+
+    def _clip_len(self) -> int:
+        return self.dataset.indexes_generator.size
+
+    def _image_hw(self) -> tuple[int, int]:
+        if self.dataset.image_size is not None:
+            w, h = self.dataset.image_size
+            return h, w
+        v = self.dataset.videos_data[0]
+        return v["height"], v["width"]
+
     def _worker(self, index_q, result_q, epoch, stop_event):
+        ds = self.dataset
+        height, width = self._image_hw()
+        pool = _BufferPool(
+            self.batch_size, self._clip_len(), height, width,
+            len(ds.classes) if hasattr(ds, "classes") else ds.target_process_fn(
+                ds.get_targets(0, [0])
+            ).shape[-1],
+        )
         local = collections.OrderedDict()  # video_path -> FrameSource
 
         def get_source(video_index):
-            data = self.dataset.videos_data[video_index]
+            data = ds.videos_data[video_index]
             path = data["video_path"]
             src = local.get(path)
             if src is None:
-                src = self.dataset.source_factory(data)
+                src = ds.source_factory(data)
                 local[path] = src
                 if len(local) > self.source_cache_size:
                     _, old = local.popitem(last=False)
@@ -68,34 +125,52 @@ class ClipLoader:
         try:
             while not stop_event.is_set():
                 try:
-                    index = index_q.get_nowait()
+                    chunk = index_q.get_nowait()
                 except queue.Empty:
                     break
-                video_index, frame_indexes = self.dataset.get_video_frame_indexes(
-                    index, epoch
-                )
-                src = get_source(video_index)
-                frames = src.fetch_frames(frame_indexes)
-                targets = self.dataset.get_targets(video_index, frame_indexes)
-                if self.dataset.image_size is not None:
-                    from ball_action_spotting_tpu.data.dataset import pad_frames
-
-                    frames = pad_frames(frames, self.dataset.image_size)
-                target = self.dataset.target_process_fn(targets).astype(np.float32)
-                result_q.put((frames, target))
+                _, frames_buf, targets_buf, written = pool.acquire()
+                for j, index in enumerate(chunk):
+                    video_index, frame_indexes = ds.get_video_frame_indexes(
+                        index, epoch
+                    )
+                    src = get_source(video_index)
+                    vdata = ds.videos_data[video_index]
+                    h, w = vdata["height"], vdata["width"]
+                    top = (height - h) // 2
+                    left = (width - w) // 2
+                    if written[j] != (h, w):
+                        if written[j] is not None:
+                            frames_buf[j] = 0
+                        written[j] = (h, w)
+                    view = frames_buf[j][:, top : top + h, left : left + w]
+                    src.fetch_frames_into(frame_indexes, view)
+                    targets = ds.get_targets(video_index, frame_indexes)
+                    targets_buf[j] = ds.target_process_fn(targets)
+                k = len(chunk)
+                result_q.put((frames_buf[:k], targets_buf[:k]))
         except Exception as exc:  # surface worker crashes to the consumer
             result_q.put(exc)
         finally:
             for src in local.values():
                 src.close()
-            result_q.put(None)  # worker-done sentinel
+            try:
+                result_q.put_nowait(None)  # worker-done sentinel
+            except queue.Full:
+                pass  # consumer already has enough to finish by count
+
+    # --- consumer side ---------------------------------------------------
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
         index_q: queue.Queue = queue.Queue()
-        for i in range(n):
-            index_q.put(i)
-        result_q: queue.Queue = queue.Queue(maxsize=4 * self.batch_size)
+        num_batches = 0
+        for start in range(0, n, self.batch_size):
+            chunk = list(range(start, min(start + self.batch_size, n)))
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            index_q.put(chunk)
+            num_batches += 1
+        result_q: queue.Queue = queue.Queue(maxsize=RESULT_QUEUE_BATCHES)
         stop_event = threading.Event()
         workers = [
             threading.Thread(
@@ -110,26 +185,29 @@ class ClipLoader:
 
         try:
             done_workers = 0
-            buf_frames, buf_targets = [], []
             received = 0
-            while received < n and done_workers < self.num_workers:
+            while received < num_batches and done_workers < self.num_workers:
                 item = result_q.get()
                 if item is None:
                     done_workers += 1
                     continue
                 if isinstance(item, Exception):
                     raise item
-                frames, target = item
+                frames, targets = item
                 received += 1
-                buf_frames.append(frames)
-                buf_targets.append(target)
-                if len(buf_frames) == self.batch_size:
-                    yield np.stack(buf_frames), np.stack(buf_targets)
-                    buf_frames, buf_targets = [], []
-            if buf_frames and not self.drop_last:
-                yield np.stack(buf_frames), np.stack(buf_targets)
+                if self.copy_out:
+                    frames, targets = frames.copy(), targets.copy()
+                yield frames, targets
         finally:
             stop_event.set()
+            # drain so workers blocked on a full result queue can exit
+            for _ in range(self.num_workers * (RESULT_QUEUE_BATCHES + 2)):
+                if not any(w.is_alive() for w in workers):
+                    break
+                try:
+                    result_q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
 
     def __iter__(self):
         return self.epoch(0)
@@ -144,6 +222,8 @@ def prefetch_to_device(
 
     With a ``NamedSharding``, each batch is laid out across the mesh's data
     axis as it lands, so the jitted step never blocks on host transfer.
+    ``device_put`` also copies the loader's pooled buffers out immediately,
+    making buffer reuse safe.
     """
     import jax
 

@@ -53,6 +53,13 @@ class FrameSource(abc.ABC):
             logger.exception("Fetch frame %s error, video '%s'", index, self.video_path)
             return np.zeros((self.height, self.width), dtype=np.uint8)
 
+    def fetch_frames_into(self, indexes: Sequence[int], out: np.ndarray) -> None:
+        """Fetch a strided window directly into ``out`` ((len(indexes), h, w)
+        view of a pooled batch buffer). Subclasses with zero-copy access
+        (GrayStoreSource) override this; the default routes through
+        ``fetch_frames``."""
+        out[:] = self.fetch_frames(indexes)
+
     def fetch_frames(self, indexes: Sequence[int]) -> np.ndarray:
         """Fetch a strided window: decode [min, max] sequentially, keep the
         requested indexes (reference ``abstract.py:50-67``).

@@ -48,6 +48,8 @@ def main():
         )
         print(f"store write: {args.frames} frames in {time.perf_counter()-t0:.1f}s")
 
+        store_path.read_bytes()  # warm the page cache (decode-once steady state)
+
         video = dict(
             video_path=str(store_path),
             game="bench", half=1, frame_count=args.frames, fps=25.0,
@@ -55,20 +57,24 @@ def main():
             frame_index2action={i: "PASS" for i in range(100, args.frames, 200)},
         )
         weights = [ball_sampling_weights(video, 9, 0.5, 9)]
+        warmup = 2 * args.workers
         ds = TrainClipDataset(
             [video], ["PASS", "DRIVE"], StackIndexesGenerator(15, 2),
             MaxWindowTargetsProcessor(15), image_size=(w, h),
-            epoch_size=args.batches * args.batch_size,
+            epoch_size=(args.batches + warmup) * args.batch_size,
             videos_sampling_weights=weights,
             frame_index_shaker=FrameIndexShaker([-1, 0, 1], [0.2, 0.6, 0.2], 0.25),
-            source_factory=lambda v: GrayStoreSource(v["video_path"]),
+            source_factory=lambda v: GrayStoreSource(v["video_path"], num_threads=1),
         )
         loader = ClipLoader(ds, args.batch_size, num_workers=args.workers)
 
+        it = loader.epoch(0)
+        for _ in range(warmup):  # buffer-pool zeroing + thread spin-up
+            next(it)
         n = 0
         nbytes = 0
         t0 = time.perf_counter()
-        for frames, targets in loader.epoch(0):
+        for frames, targets in it:
             n += frames.shape[0]
             nbytes += frames.nbytes
         dt = time.perf_counter() - t0
