@@ -44,14 +44,19 @@ METRIC_DELTAS = {
 
 
 def spots_from_labels(
-    labels: dict, domain: Domain, half: int, framerate: float
+    labels: dict, domain: Domain, half: int, framerate: float,
+    visibility: Optional[str] = None,
 ) -> dict[str, list[int]]:
     """Ground-truth spot frames per class for one half, from a label JSON
-    (the position-ms → frame mapping of ``label2vector``)."""
+    (the position-ms → frame mapping of ``label2vector``). ``visibility``
+    restricts to annotations with that visibility value ("visible" /
+    "not shown") for the split metrics."""
     out: dict[str, list[int]] = {cls: [] for cls in domain.classes}
     for ann in labels["annotations"]:
         ann_half = int(ann["gameTime"].split(" - ")[0])
         if ann_half != half:
+            continue
+        if visibility is not None and ann.get("visibility") != visibility:
             continue
         label = ann["label"]
         label = domain.merged_classes.get(label, label)
@@ -183,21 +188,34 @@ def evaluate_games(
     deltas = METRIC_DELTAS[metric]
 
     games_gt, games_pred = [], []
+    games_gt_visible, games_gt_unshown = [], []
+    any_visibility = False
+    all_labels = []
     for game in games:
         labels = json.loads((Path(soccernet_dir) / game / domain.label_file).read_text())
+        all_labels.append(labels)
+        any_visibility = any_visibility or any(
+            "visibility" in a for a in labels["annotations"]
+        )
         preds = json.loads(
             (Path(predictions_dir) / game / prediction_file).read_text()
         )
         for half in domain.halves:
             games_gt.append(spots_from_labels(labels, domain, half, framerate))
+            games_gt_visible.append(
+                spots_from_labels(labels, domain, half, framerate, "visible")
+            )
+            games_gt_unshown.append(
+                spots_from_labels(labels, domain, half, framerate, "not shown")
+            )
             games_pred.append(spots_from_predictions(preds, domain, half, framerate))
 
     a_map, per_class = average_map(
         games_gt, games_pred, domain.classes, framerate, deltas
     )
-    # visible/unshown splits mirror the reference's result dict keys
-    # (src/evaluate.py:141-148); populated when the domain annotates
-    # visibility, None otherwise (like the reference for v1-style labels)
+    # visible/unshown splits mirror the reference's result dict
+    # (src/evaluate.py:141-148); populated only when labels carry visibility
+    # (v2-style), None otherwise like the reference for v1-style labels.
     results = {
         "a_mAP": a_map,
         "a_mAP_per_class": per_class,
@@ -208,4 +226,11 @@ def evaluate_games(
         "metric": metric,
         "games": list(games),
     }
+    if any_visibility:
+        for key, gt in (("visible", games_gt_visible), ("unshown", games_gt_unshown)):
+            split_map, split_per_class = average_map(
+                gt, games_pred, domain.classes, framerate, deltas
+            )
+            results[f"a_mAP_{key}"] = split_map
+            results[f"a_mAP_per_class_{key}"] = split_per_class
     return results
