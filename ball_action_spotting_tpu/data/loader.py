@@ -73,6 +73,7 @@ class ClipLoader:
         drop_last: bool = False,
         source_cache_size: int = 4,
         copy_out: bool = False,
+        ordered: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -80,6 +81,10 @@ class ClipLoader:
         self.drop_last = drop_last
         self.source_cache_size = source_cache_size
         self.copy_out = copy_out
+        # ordered=True yields batches in index order regardless of worker
+        # completion order → bitwise-reproducible training runs at any
+        # worker count (batch CONTENT is always deterministic either way)
+        self.ordered = ordered
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -125,7 +130,7 @@ class ClipLoader:
         try:
             while not stop_event.is_set():
                 try:
-                    chunk = index_q.get_nowait()
+                    batch_id, chunk = index_q.get_nowait()
                 except queue.Empty:
                     break
                 _, frames_buf, targets_buf, written = pool.acquire()
@@ -147,7 +152,7 @@ class ClipLoader:
                     targets = ds.get_targets(video_index, frame_indexes)
                     targets_buf[j] = ds.target_process_fn(targets)
                 k = len(chunk)
-                result_q.put((frames_buf[:k], targets_buf[:k]))
+                result_q.put((batch_id, frames_buf[:k], targets_buf[:k]))
         except Exception as exc:  # surface worker crashes to the consumer
             result_q.put(exc)
         finally:
@@ -168,7 +173,7 @@ class ClipLoader:
             chunk = list(range(start, min(start + self.batch_size, n)))
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            index_q.put(chunk)
+            index_q.put((num_batches, chunk))
             num_batches += 1
         result_q: queue.Queue = queue.Queue(maxsize=RESULT_QUEUE_BATCHES)
         stop_event = threading.Event()
@@ -186,6 +191,8 @@ class ClipLoader:
         try:
             done_workers = 0
             received = 0
+            next_emit = 0
+            held: dict[int, tuple] = {}  # ordered-mode reorder buffer
             while received < num_batches and done_workers < self.num_workers:
                 item = result_q.get()
                 if item is None:
@@ -193,11 +200,21 @@ class ClipLoader:
                     continue
                 if isinstance(item, Exception):
                     raise item
-                frames, targets = item
+                batch_id, frames, targets = item
                 received += 1
-                if self.copy_out:
+                if self.copy_out or (self.ordered and batch_id != next_emit):
+                    # held batches outlive their pool slot window → copy
                     frames, targets = frames.copy(), targets.copy()
-                yield frames, targets
+                if not self.ordered:
+                    yield frames, targets
+                    continue
+                held[batch_id] = (frames, targets)
+                while next_emit in held:
+                    yield held.pop(next_emit)
+                    next_emit += 1
+            while self.ordered and next_emit in held:
+                yield held.pop(next_emit)
+                next_emit += 1
         finally:
             stop_event.set()
             # drain so workers blocked on a full result queue can exit

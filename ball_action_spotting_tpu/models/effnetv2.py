@@ -86,8 +86,22 @@ _V2_L = (
     ),
 )
 
+# Minimal stand-in arch (same stage kinds and 5 feature taps as b0) for
+# smoke tests, config dry runs, and CI — compiles in seconds anywhere.
+_V2_TINY = (
+    8,
+    (
+        BlockDef("cn", 1, 3, 1, 1, 8),
+        BlockDef("er", 1, 3, 2, 2, 8),
+        BlockDef("er", 1, 3, 2, 2, 16),
+        BlockDef("ir", 1, 3, 2, 2, 16, 0.25),
+        BlockDef("ir", 1, 3, 2, 2, 24, 0.25),
+    ),
+)
+
 # name -> (stem, stages, channel_multiplier, depth_multiplier)
 EFFNETV2_ARCHS: dict[str, tuple[int, tuple[BlockDef, ...], float, float]] = {
+    "efficientnetv2_tiny": (*_V2_TINY, 1.0, 1.0),
     "efficientnetv2_b0": (*_V2_BASE, 1.0, 1.0),
     "efficientnetv2_b1": (*_V2_BASE, 1.0, 1.1),
     "efficientnetv2_b2": (*_V2_BASE, 1.1, 1.2),

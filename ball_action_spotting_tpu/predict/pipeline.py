@@ -13,7 +13,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ball_action_spotting_tpu.core.annotations import probe_video_info
+from ball_action_spotting_tpu.core.annotations import _cached_video_info
 from ball_action_spotting_tpu.core.postprocess import raw_predictions_to_actions
 from ball_action_spotting_tpu.core.spotting import (
     load_raw_predictions,
@@ -65,7 +65,7 @@ def predict_video(predictor, video_data: dict, raw_predictions_path: Path,
 def predict_game(predictor, game: str, domain: Domain, prediction_dir: Path,
                  resolution: str = "720p", use_saved: bool = False,
                  video_info_fn=None) -> None:
-    video_info_fn = video_info_fn or probe_video_info
+    video_info_fn = video_info_fn or _cached_video_info
     game_dir = domain.soccernet_dir / game
     game_prediction_dir = prediction_dir / game
     game_prediction_dir.mkdir(parents=True, exist_ok=True)
