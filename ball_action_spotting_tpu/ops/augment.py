@@ -171,8 +171,11 @@ def _motion_blur_kernel(rng, k: int, max_angle: float, direction: float):
 
 
 def _posterize(clip, bits: int):
-    levels = 2 ** bits
-    return jnp.floor(clip * (levels - 1) + 0.5) / (levels - 1)
+    """Keep the top ``bits`` bits of the 8-bit intensity (torch/kornia
+    posterize semantics: mask off the low bits, not round to levels)."""
+    shift = 8 - bits
+    quantized = (clip * 255.0).astype(jnp.int32) >> shift << shift
+    return quantized.astype(clip.dtype) / 255.0
 
 
 # --- the per-clip augmentation -----------------------------------------------

@@ -42,7 +42,12 @@ def make_predictor(model_path: Path, engine: str = "chunked", tta: bool = False,
 def predict_video(predictor, video_data: dict, raw_predictions_path: Path,
                   use_saved: bool = False):
     """→ class2actions for one half; saves/loads the raw npz."""
-    if use_saved and raw_predictions_path.exists():
+    if use_saved:
+        if not raw_predictions_path.exists():
+            raise FileNotFoundError(
+                f"--use_saved_predictions set but {raw_predictions_path} is "
+                "missing; run predict without the flag first"
+            )
         frame_indexes, raw = load_raw_predictions(raw_predictions_path)
     else:
         source = open_source(video_data)
