@@ -176,10 +176,13 @@ class Trainer:
     # --- epochs -----------------------------------------------------------
 
     def _device_batches(self, loader, epoch: int):
+        """Yields (frames, targets, valid): batches padded to the mesh's
+        data-axis size, device-resident, with the count of real rows."""
         from ball_action_spotting_tpu.data.loader import prefetch_to_device
 
         sharding = mesh_lib.batch_sharding(self.mesh)
         n_dev = int(np.prod(self.mesh.devices.shape))
+        valids: list[int] = []
 
         def padded():
             iterator = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
@@ -187,9 +190,11 @@ class Trainer:
                 frames, targets, valid = mesh_lib.pad_batch_to_devices(
                     frames, targets, n_dev
                 )
+                valids.append(valid)
                 yield frames, targets
 
-        return prefetch_to_device(padded(), sharding)
+        for frames, targets in prefetch_to_device(padded(), sharding):
+            yield frames, targets, valids.pop(0)
 
     def train_epoch(self, loader, epoch: int) -> dict:
         assert self.state is not None, "call init_state first"
@@ -197,10 +202,10 @@ class Trainer:
         losses = []
         t0 = time.time()
         n = 0
-        for frames, targets in self._device_batches(loader, epoch):
+        for frames, targets, valid in self._device_batches(loader, epoch):
             self.state, aux = self.train_step(self.state, frames, targets, rng)
             losses.append(aux["loss"])
-            n += frames.shape[0]
+            n += valid
         losses = [float(l) for l in losses]
         dt = time.time() - t0
         return {
@@ -213,11 +218,16 @@ class Trainer:
         metrics = [AveragePrecision(self.classes),
                    Accuracy(self.classes, self.config.get("metric_accuracy_threshold", 0.5))]
         losses = []
-        for frames, targets in self._device_batches(loader, epoch):
+        for frames, targets, valid in self._device_batches(loader, epoch):
             out = self.val_step(self.state, frames, targets)
             losses.append(float(out["loss"]))
+            # drop mesh-padding duplicate rows from epoch metrics
+            trimmed = {
+                "prediction": np.asarray(out["prediction"])[:valid],
+                "target": np.asarray(out["target"])[:valid],
+            }
             for m in metrics:
-                m.update(out)
+                m.update(trimmed)
         results = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
         for m in metrics:
             results.update(m.results("val_"))
