@@ -247,6 +247,8 @@ class ChunkedVideoPredictor(PredictorBase):
         behind = gen.behind
         min_predict = gen.clip_index(0, frame_count, 1)
         max_predict = gen.clip_index(frame_count, frame_count, 1)
+        if max_predict < min_predict:  # video shorter than one window
+            return [], np.zeros((0, self.model.num_classes), np.float32)
         predict_indexes = list(range(min_predict, max_predict + 1))
         n = self.chunk_size
         tw, th = self.image_size
@@ -299,6 +301,8 @@ def get_raw_predictions(
     gen = predictor.indexes_generator
     min_index = gen.clip_index(0, frame_count, 1)
     max_index = gen.clip_index(frame_count, frame_count, 1)
+    if max_index < min_index:  # video shorter than one window
+        return [], np.zeros((0, predictor.model.num_classes), np.float32)
     predictor.reset_buffers()
     frame_index2prediction: dict[int, jax.Array] = {}
     frame_index = -1

@@ -129,3 +129,15 @@ def test_chunked_tta_matches_streaming_tta(ckpt_path):
     )
     assert list(c_idx) == list(s_idx)
     np.testing.assert_allclose(c_raw, s_raw, atol=1e-5)
+
+
+def test_short_video_returns_empty(ckpt_path):
+    # video shorter than one 6-frame/step-2 window → no predictions, no hang
+    chunked = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=8)
+    src = SyntheticSource(num_frames=8, height=64, width=96, seed=1)
+    idx, raw = chunked.predict_video(iter_source_frames(src), 8)
+    assert idx == [] and raw.shape == (0, 2)
+    streaming = StreamingPredictor(ckpt_path, dtype=jnp.float32)
+    src2 = SyntheticSource(num_frames=8, height=64, width=96, seed=1)
+    idx2, raw2 = get_raw_predictions(streaming, src2, 8)
+    assert idx2 == [] and raw2.shape == (0, 2)
