@@ -91,7 +91,8 @@ def transcode_video_to_store(video_path: Path, store_path: Path) -> dict:
 
     src = OpenCVSource(str(video_path))
     try:
-        info = dict(height=src.height, width=src.width, frame_count=src.num_frames)
+        info = dict(height=src.height, width=src.width,
+                    frame_count=src.num_frames, fps=src.fps)
         def frames():
             for _ in range(src.num_frames):
                 yield src.fetch_frame()

@@ -98,6 +98,7 @@ class OpenCVSource(FrameSource):
         self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
 
     def _next_decode(self) -> np.ndarray:
         ok, frame = self._cap.read()
