@@ -90,3 +90,22 @@ def test_warmup_cosine_shape():
 def test_get_lr_scaling():
     assert get_lr(3e-4, 8) == 6e-4
     assert get_lr(3e-4, 4) == 3e-4
+
+
+def test_checkpoint_negative_paths(tmp_path):
+    import pytest as _pytest
+    from ball_action_spotting_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    bad = tmp_path / "bad.ckpt"
+    bad.write_bytes(b"NOTACKPT" + b"\0" * 64)
+    with _pytest.raises(ValueError, match="Not a bas-tpu checkpoint"):
+        load_checkpoint(bad)
+
+    ema_only = tmp_path / "model-001-0.500000.ckpt"
+    save_checkpoint(ema_only, {"nn_module": ["multidim_stacker", {}]},
+                    {"params": {"w": np.zeros(2, np.float32)}})
+    with _pytest.raises(ValueError, match="no raw"):
+        load_checkpoint(ema_only, use_ema=False)
