@@ -151,11 +151,21 @@ class StreamingPredictor(PredictorBase):
             return None, predict_index
 
         stacks_indexes = list(_batched(predict_indexes, self.model_stack_size))
-        for stack in stacks_indexes:
-            if stack not in self._stack_indexes2features:
-                frames = np.stack([self._frame_index2frame[i] for i in stack], axis=0)
-                feats = self._fwd2d(self.variables, jnp.asarray(frames[None]))
-                self._stack_indexes2features[stack] = feats[0]  # (tta, h, w, C)
+        missing = [s for s in stacks_indexes if s not in self._stack_indexes2features]
+        if missing:
+            # one batched encoder call for all uncached stacks (stream start
+            # and seeks would otherwise issue num_stacks separate B=1 calls;
+            # steady state has exactly one new stack either way)
+            frames = np.stack(
+                [
+                    np.stack([self._frame_index2frame[i] for i in stack], axis=0)
+                    for stack in missing
+                ],
+                axis=0,
+            )
+            feats = self._fwd2d(self.variables, jnp.asarray(frames))
+            for j, stack in enumerate(missing):
+                self._stack_indexes2features[stack] = feats[j]  # (tta, h, w, C)
         feats = jnp.stack(
             [self._stack_indexes2features[s] for s in stacks_indexes], axis=1
         )  # (tta, S, h, w, C)
