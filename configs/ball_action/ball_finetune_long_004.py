@@ -1,78 +1,35 @@
 """Stage-4 long-sequence fine-tune: frame stack 15→33, frozen 2D encoder,
-SGD+Nesterov, init from stage-3 same fold.
+SGD+Nesterov, init from the stage-3 checkpoint of the same fold.
 
 Parity: ``/root/reference/configs/ball_action/ball_finetune_long_004.py``.
 """
 
-from ball_action_spotting_tpu.domains import ball as constants
+from ball_action_spotting_tpu.domains import ball
 from ball_action_spotting_tpu.train.schedules import get_lr
+from ball_action_spotting_tpu.utils.recipe import spotting_recipe
 
-image_size = (1280, 736)
 batch_size = 4
 base_lr = 1e-3
-frame_stack_size = 33
 
-config = dict(
-    image_size=image_size,
+config = spotting_recipe(
+    num_classes=ball.num_classes,
     batch_size=batch_size,
     base_lr=base_lr,
-    min_base_lr=base_lr * 0.05,
-    ema_decay=0.999,
-    max_targets_window_size=15,
-    train_epoch_size=6000,
+    min_lr_factor=0.05,
+    frame_stack_size=33,
+    num_epochs=(2, 7),
+    pretrained=False,  # weights come from ball_tuning_001 (same fold)
+    focal_alpha=0.4,
+    optimizer=(
+        "SGD",
+        {"lr": get_lr(base_lr, batch_size), "momentum": 0.9, "nesterov": True},
+    ),
+    freeze_conv2d_encoder=True,
     train_sampling_weights=dict(
         action_window_size=9,
         action_prob=0.5,
         pred_experiment="sampling_weights_001",
         clear_pred_window_size=27,
     ),
-    metric_accuracy_threshold=0.5,
-    num_decode_workers=4,
-    num_epochs=[2, 7],
-    stages=["warmup", "train"],
-    argus_params={
-        "nn_module": ("multidim_stacker", {
-            "model_name": "tf_efficientnetv2_b0.in1k",
-            "num_classes": constants.num_classes,
-            "num_frames": frame_stack_size,
-            "stack_size": 3,
-            "index_2d_features": 4,
-            "pretrained": False,
-            "num_3d_blocks": 4,
-            "num_3d_features": 192,
-            "expansion_3d_ratio": 3,
-            "se_reduce_3d_ratio": 24,
-            "num_3d_stack_proj": 256,
-            "drop_rate": 0.2,
-            "drop_path_rate": 0.2,
-            "act_layer": "silu",
-        }),
-        "loss": ("focal_loss", {
-            "alpha": 0.4,
-            "gamma": 1.2,
-            "reduction": "mean",
-        }),
-        "optimizer": ("SGD", {
-            "lr": get_lr(base_lr, batch_size),
-            "momentum": 0.9,
-            "nesterov": True,
-        }),
-        "image_size": image_size,
-        "frame_stack_size": frame_stack_size,
-        "frame_stack_step": 2,
-        "iter_size": 1,
-        "frames_processor": ("pad_normalize", {
-            "size": image_size,
-            "pad_mode": "constant",
-            "fill_value": 0,
-        }),
-        "freeze_conv2d_encoder": True,
-    },
-    frame_index_shaker={
-        "shifts": [-1, 0, 1],
-        "weights": [0.2, 0.6, 0.2],
-        "prob": 0.25,
-    },
-    pretrain_action_experiment="",
     pretrain_ball_experiment="ball_tuning_001",
 )

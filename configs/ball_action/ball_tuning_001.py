@@ -1,76 +1,22 @@
-"""Stage-3 transfer recipe: init from action pretrain, OOF hard-negative
-sampling weights, focal α=0.4.
+"""Stage-3 transfer recipe: init from the action pretrain, out-of-fold
+hard-negative sampling weights, focal α=0.4.
 
 Parity: ``/root/reference/configs/ball_action/ball_tuning_001.py``.
 """
 
-from ball_action_spotting_tpu.domains import ball as constants
-from ball_action_spotting_tpu.train.schedules import get_lr
+from ball_action_spotting_tpu.domains import ball
+from ball_action_spotting_tpu.utils.recipe import spotting_recipe
 
-image_size = (1280, 736)
-batch_size = 4
-base_lr = 3e-4
-frame_stack_size = 15
-
-config = dict(
-    image_size=image_size,
-    batch_size=batch_size,
-    base_lr=base_lr,
-    min_base_lr=base_lr * 0.01,
-    ema_decay=0.999,
-    max_targets_window_size=15,
-    train_epoch_size=6000,
+config = spotting_recipe(
+    num_classes=ball.num_classes,
+    num_epochs=(7, 35),
+    pretrained=False,  # weights come from the action experiment instead
+    focal_alpha=0.4,
     train_sampling_weights=dict(
         action_window_size=9,
         action_prob=0.5,
-        pred_experiment="sampling_weights_001",
+        pred_experiment="sampling_weights_001",  # OOF hard negatives
         clear_pred_window_size=27,
     ),
-    metric_accuracy_threshold=0.5,
-    num_decode_workers=4,
-    num_epochs=[7, 35],
-    stages=["warmup", "train"],
-    argus_params={
-        "nn_module": ("multidim_stacker", {
-            "model_name": "tf_efficientnetv2_b0.in1k",
-            "num_classes": constants.num_classes,
-            "num_frames": frame_stack_size,
-            "stack_size": 3,
-            "index_2d_features": 4,
-            "pretrained": False,
-            "num_3d_blocks": 4,
-            "num_3d_features": 192,
-            "expansion_3d_ratio": 3,
-            "se_reduce_3d_ratio": 24,
-            "num_3d_stack_proj": 256,
-            "drop_rate": 0.2,
-            "drop_path_rate": 0.2,
-            "act_layer": "silu",
-        }),
-        "loss": ("focal_loss", {
-            "alpha": 0.4,
-            "gamma": 1.2,
-            "reduction": "mean",
-        }),
-        "optimizer": ("AdamW", {
-            "lr": get_lr(base_lr, batch_size),
-        }),
-        "image_size": image_size,
-        "frame_stack_size": frame_stack_size,
-        "frame_stack_step": 2,
-        "iter_size": 1,
-        "frames_processor": ("pad_normalize", {
-            "size": image_size,
-            "pad_mode": "constant",
-            "fill_value": 0,
-        }),
-        "freeze_conv2d_encoder": False,
-    },
-    frame_index_shaker={
-        "shifts": [-1, 0, 1],
-        "weights": [0.2, 0.6, 0.2],
-        "prob": 0.25,
-    },
     pretrain_action_experiment="action_sampling_weights_002",
-    pretrain_ball_experiment="",
 )
