@@ -1,0 +1,152 @@
+"""Multi-stream serving predictor: many live videos per chip.
+
+The production serving shape for spotting: a TPU chip is ~25× faster than a
+single 25 FPS stream needs (bench: 830 fps), so a server should multiplex
+many matches. ``MultiStreamPredictor`` runs K concurrent streams with the
+same per-stream semantics as ``StreamingPredictor`` (2D-feature cache, ~one
+new 3-frame stack per ``span`` decoded frames, optional hflip TTA), but
+batches device work ACROSS streams per tick:
+
+- all streams' newly-needed stacks → one ``forward_2d`` call;
+- all streams with complete windows → one ``forward_3d + head`` call.
+
+Batch sizes vary tick to tick, so calls pad up to power-of-two buckets
+(bounded set of compiled programs; padding rows are repeats and get
+discarded). Staggering stream admission by ``span`` phases keeps per-tick
+work uniform.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ball_action_spotting_tpu.predict.streaming import PredictorBase, _batched
+
+
+def _bucket(n: int) -> int:
+    """Next power of two ≥ n (bounds the set of compiled batch shapes)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class _StreamState:
+    __slots__ = ("frames", "features", "closed")
+
+    def __init__(self):
+        self.frames: dict[int, np.ndarray] = {}
+        self.features: dict[tuple[int, ...], jax.Array] = {}
+        self.closed = False
+
+
+class MultiStreamPredictor(PredictorBase):
+    """Per-tick batched inference over many independent frame streams.
+
+    Streams are keyed by caller-chosen ids. Feed with
+    ``predict_batch([(stream_id, frame, frame_index), ...])`` → list of
+    ``(stream_id, prediction | None, predict_index)`` in input order.
+    Results match a dedicated ``StreamingPredictor`` per stream exactly
+    (same weights, same math — only the batching differs).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._streams: dict = {}
+        self._predict_offset = self.indexes_generator.make_stack_indexes(0)[-1]
+
+    def reset_stream(self, stream_id) -> None:
+        self._streams[stream_id] = _StreamState()
+
+    def close_stream(self, stream_id) -> None:
+        self._streams.pop(stream_id, None)
+
+    def _state(self, stream_id) -> _StreamState:
+        state = self._streams.get(stream_id)
+        if state is None:
+            state = _StreamState()
+            self._streams[stream_id] = state
+        return state
+
+    def predict_batch(
+        self, items: Sequence[tuple]
+    ) -> list[tuple[object, Optional[jax.Array], int]]:
+        gen = self.indexes_generator
+        # 1) ingest frames; resolve each stream's lagging window
+        plans = []  # (stream_id, state, predict_index, stacks or None)
+        for stream_id, frame, index in items:
+            state = self._state(stream_id)
+            state.frames[index] = self.pad_frame(np.asarray(frame))
+            predict_index = index - self._predict_offset
+            window = gen.make_stack_indexes(predict_index)
+            # evict state older than the window
+            low = window[0]
+            for i in [i for i in state.frames if i < low]:
+                del state.frames[i]
+            for k in [k for k in state.features if any(i < low for i in k)]:
+                del state.features[k]
+            if set(window) <= set(state.frames):
+                stacks = list(_batched(window, self.model_stack_size))
+            else:
+                stacks = None
+            plans.append((stream_id, state, predict_index, stacks))
+
+        # 2) one 2D call for every missing stack across all streams
+        missing: list[tuple[_StreamState, tuple[int, ...]]] = []
+        seen = set()
+        for _, state, _, stacks in plans:
+            if not stacks:
+                continue
+            for stack in stacks:
+                key = (id(state), stack)
+                if stack not in state.features and key not in seen:
+                    seen.add(key)
+                    missing.append((state, stack))
+        if missing:
+            batch = np.stack(
+                [
+                    np.stack([state.frames[i] for i in stack], axis=0)
+                    for state, stack in missing
+                ],
+                axis=0,
+            )
+            n = len(missing)
+            nb = _bucket(n)
+            if nb != n:  # pad with repeats to the bucket shape
+                batch = np.concatenate([batch, np.repeat(batch[-1:], nb - n, axis=0)])
+            feats = self._fwd2d(self.variables, jnp.asarray(batch))
+            for j, (state, stack) in enumerate(missing):
+                state.features[stack] = feats[j]  # (tta, h, w, C)
+
+        # 3) one 3D+head call for every complete window
+        ready = [p for p in plans if p[3]]
+        results: dict[int, jax.Array] = {}
+        if ready:
+            window_feats = jnp.stack(
+                [
+                    jnp.stack([state.features[s] for s in stacks], axis=1)
+                    for _, state, _, stacks in ready
+                ],
+                axis=0,
+            )  # (M, tta, S, h, w, C)
+            m, t = window_feats.shape[0], window_feats.shape[1]
+            mb = _bucket(m)
+            if mb != m:
+                window_feats = jnp.concatenate(
+                    [window_feats, jnp.repeat(window_feats[-1:], mb - m, axis=0)]
+                )
+            flat = window_feats.reshape((mb * t,) + window_feats.shape[2:])
+            preds = self._fwd3d_head(self.variables, flat)
+            preds = preds.reshape(mb, t, -1).mean(axis=1)
+            for j, plan in enumerate(ready):
+                results[id(plan)] = preds[j]
+
+        out = []
+        for plan in plans:
+            stream_id, _, predict_index, _ = plan
+            out.append((stream_id, results.get(id(plan)), predict_index))
+        return out
