@@ -69,6 +69,18 @@ def _resample_last_axis(
     return out.reshape(hpad, w)[:h]
 
 
+def _resample(img, scale, offsets, block):
+    """Pick the Pallas kernel on TPU (interpolation matrices stay in VMEM —
+    ~20% faster and no HBM matrix traffic), XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        from ball_action_spotting_tpu.ops.pallas_warp import (
+            resample_last_axis_pallas,
+        )
+
+        return resample_last_axis_pallas(img, scale, offsets, block)
+    return _resample_last_axis(img, scale, offsets, block)
+
+
 def affine_warp_matmul(
     img: jax.Array, inv_mat: jax.Array, block: int = 32
 ) -> jax.Array:
@@ -89,11 +101,11 @@ def affine_warp_matmul(
     q = a12 / a22
     c = b1 - a12 * b2 / a22
     rows = jnp.arange(h, dtype=jnp.float32)
-    tmp = _resample_last_axis(img, p, q * rows + c, block)
+    tmp = _resample(img, p, q * rows + c, block)
 
     # V pass over columns x: v(y_out, x) = a22·y_out + a21·x + b2
     cols = jnp.arange(w, dtype=jnp.float32)
-    out_t = _resample_last_axis(tmp.T, a22, a21 * cols + b2, block)
+    out_t = _resample(tmp.T, a22, a21 * cols + b2, block)
     return out_t.T
 
 
