@@ -14,6 +14,11 @@ Baseline: the driver target of 10× realtime per chip = 250 fps
 realtime (reference README.md:133-139).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``BENCH_METRIC=train`` switches to training throughput (samples/sec for the
+full jitted step at the recipe's batch 4 with on-device augmentation;
+baseline: the reference's RTX 3090 Ti epoch time, README.md:133-134 →
+~14 samples/s for 6000 samples in ~7 min).
 """
 
 import json
@@ -23,7 +28,65 @@ import time
 from pathlib import Path
 
 
+def bench_train() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ball_action_spotting_tpu.ops.augment import make_augment_fn
+    from ball_action_spotting_tpu.ops.focal_loss import FocalLoss
+    from ball_action_spotting_tpu.train.optim import build_optimizer
+    from ball_action_spotting_tpu.train.schedules import warmup_cosine
+    from ball_action_spotting_tpu.train.state import TrainState
+    from ball_action_spotting_tpu.train.steps import make_train_step
+    from __graft_entry__ import _flagship
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = int(os.environ.get("BENCH_BATCH", 4))
+    height, width = (736, 1280) if on_tpu else (64, 96)
+    steps = int(os.environ.get("BENCH_STEPS", 10 if on_tpu else 2))
+
+    model = _flagship(jnp.bfloat16)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, jnp.zeros((1, 15, 64, 96), jnp.float32),
+                             train=False)
+    )(jax.random.PRNGKey(0))
+    tx = build_optimizer("AdamW", {}, schedule=warmup_cosine(3e-4, 3e-6, 100, 1000))
+    state = TrainState.create(variables, tx)
+    step = jax.jit(
+        make_train_step(model, FocalLoss(alpha=-1.0, gamma=1.2), tx,
+                        ema_decay=0.999, augment_fn=make_augment_fn()),
+        donate_argnums=0,
+    )
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.default_rng(0)
+    frames = jax.device_put(
+        nprng.integers(0, 255, (batch, 15, height, width), dtype=np.uint8)
+    )
+    targets = jax.device_put(nprng.random((batch, 2)).astype(np.float32))
+    state, aux = step(state, frames, targets, rng)
+    np.asarray(aux["loss"])  # sync (block_until_ready unreliable on axon)
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(steps):
+        state, aux = step(state, frames, targets, rng)
+        losses.append(aux["loss"])
+    [float(x) for x in losses]
+    dt = time.perf_counter() - t0
+    sps = batch * steps / dt
+    baseline = 14.0  # reference 3090 Ti ≈ 6000 train samples / ~7 min epoch
+    return {
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(sps / baseline, 4),
+    }
+
+
 def main() -> None:
+    if os.environ.get("BENCH_METRIC") == "train":
+        print(json.dumps(bench_train()))
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np
