@@ -134,12 +134,22 @@ def transfer_weights(variables: dict, pretrain_variables: dict, verbose: bool = 
 
 
 def resolve_pretrain_variables(path: Path, use_ema: bool = True) -> tuple[dict, dict]:
-    """Load either a native checkpoint or a reference argus ``.pth``."""
+    """Load a native checkpoint, a reference argus ``.pth``, or an Orbax
+    checkpoint directory."""
     path = Path(path)
     if path.suffix == ".pth":
         from ball_action_spotting_tpu.models.torch_import import load_reference_checkpoint
 
         return load_reference_checkpoint(path, use_ema=use_ema)
+    if path.is_dir():
+        from ball_action_spotting_tpu.train.orbax_io import (
+            is_orbax_checkpoint,
+            load_checkpoint_orbax,
+        )
+
+        if is_orbax_checkpoint(path):
+            return load_checkpoint_orbax(path, use_ema=use_ema)
+        raise ValueError(f"Not an Orbax checkpoint directory: {path}")
     return load_checkpoint(path, use_ema=use_ema)
 
 
