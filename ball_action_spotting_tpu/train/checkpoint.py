@@ -85,6 +85,13 @@ def get_best_checkpoint_path(
         m = re.search(r"-(\d+(?:\.\d+)?)\.(?:ckpt|pth)$", path.name)
         if m:
             scored.append((path, float(m.group(1))))
+    if dir_path.exists():  # Orbax checkpoint directories (no suffix)
+        from ball_action_spotting_tpu.train.orbax_io import is_orbax_checkpoint
+
+        for path in dir_path.iterdir():
+            m = re.fullmatch(r"model-\d+-(\d+(?:\.\d+)?)", path.name)
+            if m and is_orbax_checkpoint(path):
+                scored.append((path, float(m.group(1))))
     if not scored:
         return (None, -np.inf) if return_score else None
     scored.sort(key=lambda x: x[1], reverse=more_better)
@@ -94,23 +101,41 @@ def get_best_checkpoint_path(
 
 class CheckpointManager:
     """Best-by-metric retention with ``max_saves``
-    (reference EmaCheckpoint + argus Checkpoint max_saves semantics)."""
+    (reference EmaCheckpoint + argus Checkpoint max_saves semantics).
+    ``backend`` selects the single-file native format (default) or Orbax
+    directories (``train/orbax_io.py``)."""
 
-    def __init__(self, save_dir: Path, max_saves: int = 1, more_better: bool = True):
+    def __init__(self, save_dir: Path, max_saves: int = 1, more_better: bool = True,
+                 backend: str = "native"):
+        assert backend in ("native", "orbax"), backend
         self.save_dir = Path(save_dir)
         self.max_saves = max_saves
         self.more_better = more_better
+        self.backend = backend
         self._saved: list[tuple[float, Path]] = []
 
     def save(self, epoch: int, score: float, params_dict: dict,
              variables: dict, no_ema_variables: Optional[dict] = None) -> Path:
-        path = self.save_dir / checkpoint_name(epoch, score)
-        save_checkpoint(path, params_dict, variables, no_ema_variables)
+        if self.backend == "orbax":
+            from ball_action_spotting_tpu.train.orbax_io import save_checkpoint_orbax
+
+            path = self.save_dir / checkpoint_name(epoch, score).removesuffix(
+                CKPT_SUFFIX
+            )
+            save_checkpoint_orbax(path, params_dict, variables, no_ema_variables)
+        else:
+            path = self.save_dir / checkpoint_name(epoch, score)
+            save_checkpoint(path, params_dict, variables, no_ema_variables)
         self._saved.append((score, path))
         self._saved.sort(key=lambda x: x[0], reverse=self.more_better)
         while len(self._saved) > self.max_saves:
             _, old = self._saved.pop()
-            old.unlink(missing_ok=True)
+            if old.is_dir():
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                old.unlink(missing_ok=True)
         return path
 
 

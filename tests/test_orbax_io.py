@@ -57,3 +57,21 @@ def test_predictor_from_orbax_dir(orbax_dir):
 def test_resolve_rejects_random_dir(tmp_path):
     with pytest.raises(ValueError, match="Orbax"):
         resolve_pretrain_variables(tmp_path)
+
+
+def test_checkpoint_manager_orbax_backend(tmp_path):
+    from ball_action_spotting_tpu.train.checkpoint import (
+        CheckpointManager,
+        get_best_checkpoint_path,
+    )
+
+    mgr = CheckpointManager(tmp_path, max_saves=1, backend="orbax")
+    for epoch, score in ((1, 0.4), (2, 0.7), (3, 0.5)):
+        mgr.save(epoch, score, dict(PARAMS),
+                 {"params": {"w": np.arange(3.0) * score}})
+    dirs = sorted(p.name for p in tmp_path.iterdir())
+    assert dirs == ["model-002-0.700000"]
+    best, best_score = get_best_checkpoint_path(tmp_path, return_score=True)
+    assert best_score == pytest.approx(0.7)
+    variables, params = resolve_pretrain_variables(best)
+    np.testing.assert_allclose(variables["params"]["w"], np.arange(3.0) * 0.7)
