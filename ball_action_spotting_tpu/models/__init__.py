@@ -30,8 +30,9 @@ MODEL_REGISTRY: dict[str, Any] = {
     "classifier2d": Classifier2d,
 }
 
-# Constructor kwargs the reference passes that have no Flax equivalent
-# ("pretrained" weights are loaded explicitly via models.torch_import).
+# Constructor kwargs that configure weight INITIALIZATION, not module
+# structure: "pretrained" is honored by Trainer.init_state (which merges
+# ImageNet weights via models.pretrained), not by the Flax constructor.
 _IGNORED_KWARGS = {"pretrained"}
 
 

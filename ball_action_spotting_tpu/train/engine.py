@@ -167,8 +167,35 @@ class Trainer:
         h, w = self.image_size[1], self.image_size[0]
         x = jnp.zeros((1, self.frame_stack_size, h, w), jnp.float32)
         variables = self.model.init({"params": jax.random.PRNGKey(self.seed)}, x, train=False)
+        nn_kwargs = self.config["argus_params"]["nn_module"][1]
         if pretrain_variables is not None:
+            # stage pretrain (a prior experiment's checkpoint) supersedes the
+            # ImageNet init, matching the reference where
+            # load_weights_from_pretrain overwrites the timm init
+            # (reference scripts/ball_action/train.py:51-61).
             variables = ckpt_lib.transfer_weights(dict(variables), pretrain_variables)
+        elif nn_kwargs.get("pretrained", False):
+            # ImageNet 2D-encoder bootstrap (reference
+            # src/models/multidim_stacker.py:166-176). Fails loudly when the
+            # local weight file is absent — see models/pretrained.py.
+            from ball_action_spotting_tpu.models.pretrained import (
+                apply_pretrained_encoder,
+            )
+
+            encoder_name = (
+                "encoder" if self.config["argus_params"]["nn_module"][0]
+                in ("timm", "classifier2d") else "conv2d_encoder"
+            )
+            variables = apply_pretrained_encoder(
+                dict(variables),
+                nn_kwargs["model_name"],
+                encoder_name=encoder_name,
+                stem_space_to_depth=bool(nn_kwargs.get("stem_space_to_depth", False)),
+            )
+            self.logger.info(
+                f"Initialized {encoder_name} from ImageNet-pretrained "
+                f"{nn_kwargs['model_name']}"
+            )
         state = TrainState.create(variables, self.tx)
         self.state = mesh_lib.replicate_state(state, self.mesh)
         return self.state
