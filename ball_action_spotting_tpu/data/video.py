@@ -16,6 +16,7 @@ source drives dataset/loader/predictor tests with no video files.
 from __future__ import annotations
 
 import abc
+import collections
 import logging
 from typing import Optional, Sequence
 
@@ -83,6 +84,80 @@ class FrameSource(abc.ABC):
 
     def __exit__(self, *exc):
         self.close()
+
+
+class SequentialWindowSource(FrameSource):
+    """Rolling-buffer wrapper for ordered access on codec-backed sources.
+
+    The reference's sequential loader keeps a persistent decoder plus a
+    ``frame_index2frame`` window so time-ordered validation samples decode
+    each frame once (``/root/reference/src/data_loaders/sequential.py:29-69``).
+    This provides the same semantics at the FrameSource layer, so every
+    ordered consumer (validation, whole-video predict without a ``.gray``
+    store) benefits: overlapping strided windows are served from the buffer,
+    the underlying decoder only ever steps forward, and a backward seek
+    outside the buffer resets it (one codec seek, not one per sample).
+    """
+
+    def __init__(self, source: FrameSource, buffer_size: int = 64):
+        super().__init__(source.video_path)
+        self._source = source
+        self.num_frames = source.num_frames
+        self.width = source.width
+        self.height = source.height
+        self.buffer_size = int(buffer_size)
+        self._buffer: "collections.OrderedDict[int, np.ndarray]" = (
+            collections.OrderedDict()
+        )
+        self._next: Optional[int] = None  # wrapped source's next sequential index
+
+    def _decode_at(self, index: int) -> np.ndarray:
+        if self._next is not None and index == self._next:
+            frame = self._source.fetch_frame()  # sequential step
+        else:
+            frame = self._source.fetch_frame(index)  # codec seek
+        self._next = index + 1
+        self._buffer[index] = frame
+        while len(self._buffer) > self.buffer_size:
+            self._buffer.popitem(last=False)
+        return frame
+
+    def _ensure(self, lo: int, hi: int) -> None:
+        if hi - lo + 1 > self.buffer_size:
+            self.buffer_size = hi - lo + 1  # never evict inside one window
+        for i in range(lo, hi + 1):
+            if i not in self._buffer:
+                self._decode_at(i)
+
+    def _seek_and_read(self, index: int) -> np.ndarray:
+        self._ensure(index, index)
+        return self._buffer[index]
+
+    def _next_decode(self) -> np.ndarray:
+        return self._seek_and_read(self.current_index)
+
+    def fetch_frames(self, indexes: Sequence[int]) -> np.ndarray:
+        lo, hi = min(indexes), max(indexes)
+        try:
+            self._ensure(lo, hi)
+        except Exception:
+            logger.exception(
+                "Sequential window [%s, %s] error, video '%s'",
+                lo, hi, self.video_path,
+            )
+        zero = None
+        frames = []
+        for i in indexes:
+            frame = self._buffer.get(i)
+            if frame is None:
+                if zero is None:
+                    zero = np.zeros((self.height, self.width), dtype=np.uint8)
+                frame = zero
+            frames.append(frame)
+        return np.stack(frames, axis=0)
+
+    def close(self) -> None:
+        self._source.close()
 
 
 class OpenCVSource(FrameSource):
@@ -233,3 +308,19 @@ def open_source(video_data: dict) -> FrameSource:
 
         return GrayStoreSource(gray)
     return OpenCVSource(path)
+
+
+def make_sequential_factory(buffer_size: int, base_factory=open_source):
+    """Source factory for time-ordered consumers (validation enumerates
+    actions in video order): wraps CODEC-backed sources in
+    ``SequentialWindowSource`` so overlapping windows decode each frame once.
+    Random-access stores (gray/synthetic) pass through — buffering would
+    only add copies."""
+
+    def factory(video_data: dict) -> FrameSource:
+        src = base_factory(video_data)
+        if isinstance(src, OpenCVSource):
+            return SequentialWindowSource(src, buffer_size=buffer_size)
+        return src
+
+    return factory

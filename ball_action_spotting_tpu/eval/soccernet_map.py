@@ -11,15 +11,21 @@ its definition (SoccerNet action spotting, Giancola et al.):
   scanned in temporal order and each takes the highest-confidence unmatched
   prediction inside its window;
 - per class, a precision/recall curve is swept over 200 confidence
-  thresholds in [0, 1] and AP is the area under the recall-sorted curve
-  (trapezoidal, with the (0, 1) anchor point), matching the official
-  implementation's numeric recipe;
+  thresholds in [0, 1] and AP is the official 11-point interpolation,
+  matching the official implementation's numeric recipe exactly;
 - average-mAP averages the per-class AP over a set of tolerances δ:
   metric "at1" → δ = {1 s} (the headline mAP@1), "tight" → δ = 1..5 s,
   "loose" → δ = 5,10,...,60 s (``src/evaluate.py:122-127``).
 
-If the official SoccerNet package is installed, ``evaluate_games`` can
-cross-check against it (``use_official=True``).
+``evaluate_games`` computes the metric with one of two algorithms:
+``"official"`` (default) — the faithful reimplementation of the SoccerNet
+package pipeline in ``eval/official_map.py`` (dense 90-minute vectors,
+truncating frame mapping, closest-action visibility attribution) — or
+``"matcher"`` — the definitional sparse-spot matcher below (rounding frame
+mapping, no dense-vector collision collapse; identical AP recipe). The two
+agree exactly on well-separated, truncation-safe spot positions
+(tests/test_eval_official.py pins both the agreement and each documented
+divergence).
 """
 
 from __future__ import annotations
@@ -118,23 +124,26 @@ def match_spots(
 
 def average_precision(detections: np.ndarray, total_gt: int,
                       num_thresholds: int = 200) -> float:
-    """AP over a [confidence, matched] array using the official 200-threshold
-    recall-sorted trapezoidal recipe."""
-    if total_gt == 0:
-        return np.nan
+    """AP over a [confidence, matched] array using the official numeric
+    recipe: 200 confidence thresholds, 0/0 -> 0 precision/recall, 11-point
+    interpolation (see ``eval/official_map.py`` docstring). A class with no
+    ground truth scores 0 (it stays in the class mean, as in the official
+    evaluator)."""
     thresholds = np.linspace(0, 1, num_thresholds)
-    precision, recall = [1.0], [0.0]  # anchor point
-    for thr in thresholds:
+    precision = np.zeros(num_thresholds)
+    recall = np.zeros(num_thresholds)
+    for i, thr in enumerate(thresholds):
         mask = detections[:, 0] >= thr if len(detections) else np.zeros(0, bool)
         n_pred = int(mask.sum())
         tp = float(detections[mask, 1].sum()) if n_pred else 0.0
-        p = tp / n_pred if n_pred else 1.0
-        precision.append(p)
-        recall.append(tp / total_gt)
-    order = np.argsort(recall, kind="stable")
-    precision = np.asarray(precision)[order]
-    recall = np.asarray(recall)[order]
-    return float(np.trapezoid(precision, recall))
+        precision[i] = tp / n_pred if n_pred else 0.0
+        recall[i] = tp / total_gt if total_gt else 0.0
+    ap = 0.0
+    for j in np.arange(11) / 10:
+        at_least = precision[recall >= j]
+        if at_least.size:
+            ap += float(at_least.max())
+    return ap / 11
 
 
 def average_map(
@@ -167,9 +176,9 @@ def average_map(
             )
             per_class.append(average_precision(det_arr, total_gt))
         per_class_all.append(per_class)
-        maps.append(np.nanmean(per_class))
+        maps.append(np.mean(per_class))
     a_map = float(np.mean(maps))
-    a_map_per_class = list(np.nanmean(np.asarray(per_class_all), axis=0))
+    a_map_per_class = list(np.mean(np.asarray(per_class_all), axis=0))
     return a_map, a_map_per_class
 
 
@@ -181,25 +190,75 @@ def evaluate_games(
     metric: str = "at1",
     framerate: Optional[float] = None,
     prediction_file: str = "results_spotting.json",
+    algorithm: str = "official",
 ) -> dict:
     """Directory-level evaluation matching the reference evaluate CLI
-    (``/root/reference/scripts/ball_action/evaluate.py:17-38``)."""
+    (``/root/reference/scripts/ball_action/evaluate.py:17-38``).
+
+    ``algorithm="official"`` reproduces the SoccerNet package pipeline
+    exactly (the reference's numbers); ``"matcher"`` uses the definitional
+    sparse-spot path in this module (see module docstring for divergences).
+    """
+    assert algorithm in ("official", "matcher"), algorithm
     framerate = framerate or domain.video_fps
     deltas = METRIC_DELTAS[metric]
 
-    games_gt, games_pred = [], []
-    games_gt_visible, games_gt_unshown = [], []
+    loaded = []
     any_visibility = False
-    all_labels = []
     for game in games:
         labels = json.loads((Path(soccernet_dir) / game / domain.label_file).read_text())
-        all_labels.append(labels)
         any_visibility = any_visibility or any(
             "visibility" in a for a in labels["annotations"]
         )
         preds = json.loads(
             (Path(predictions_dir) / game / prediction_file).read_text()
         )
+        loaded.append((labels, preds))
+
+    results = {
+        "a_mAP": None,
+        "a_mAP_per_class": None,
+        "a_mAP_visible": None,
+        "a_mAP_per_class_visible": None,
+        "a_mAP_unshown": None,
+        "a_mAP_per_class_unshown": None,
+        "metric": metric,
+        "games": list(games),
+    }
+
+    if algorithm == "official":
+        from ball_action_spotting_tpu.eval.official_map import (
+            average_map_official,
+            closest_vector,
+            label_vectors,
+            prediction_vectors,
+        )
+
+        targets, detections, closests = [], [], []
+        for labels, preds in loaded:
+            gt_halves = label_vectors(labels, domain, framerate)
+            pred_halves = prediction_vectors(preds, domain, framerate)
+            for half in domain.halves:
+                targets.append(gt_halves[half])
+                detections.append(pred_halves[half])
+                closests.append(closest_vector(gt_halves[half]))
+        (a_map, per_class, a_map_vis, per_class_vis,
+         a_map_uns, per_class_uns) = average_map_official(
+            targets, detections, closests, framerate, deltas
+        )
+        results["a_mAP"] = a_map
+        results["a_mAP_per_class"] = per_class
+        # reference gates the splits on label version (src/evaluate.py:144-147)
+        if any_visibility:
+            results["a_mAP_visible"] = a_map_vis
+            results["a_mAP_per_class_visible"] = per_class_vis
+            results["a_mAP_unshown"] = a_map_uns
+            results["a_mAP_per_class_unshown"] = per_class_uns
+        return results
+
+    games_gt, games_pred = [], []
+    games_gt_visible, games_gt_unshown = [], []
+    for labels, preds in loaded:
         for half in domain.halves:
             games_gt.append(spots_from_labels(labels, domain, half, framerate))
             games_gt_visible.append(
@@ -213,19 +272,8 @@ def evaluate_games(
     a_map, per_class = average_map(
         games_gt, games_pred, domain.classes, framerate, deltas
     )
-    # visible/unshown splits mirror the reference's result dict
-    # (src/evaluate.py:141-148); populated only when labels carry visibility
-    # (v2-style), None otherwise like the reference for v1-style labels.
-    results = {
-        "a_mAP": a_map,
-        "a_mAP_per_class": per_class,
-        "a_mAP_visible": None,
-        "a_mAP_per_class_visible": None,
-        "a_mAP_unshown": None,
-        "a_mAP_per_class_unshown": None,
-        "metric": metric,
-        "games": list(games),
-    }
+    results["a_mAP"] = a_map
+    results["a_mAP_per_class"] = per_class
     if any_visibility:
         for key, gt in (("visible", games_gt_visible), ("unshown", games_gt_unshown)):
             split_map, split_per_class = average_map(

@@ -115,9 +115,11 @@ class Trainer:
         self.image_size = tuple(ap["image_size"])  # (W, H)
         self.frame_stack_size = ap["frame_stack_size"]
 
-        # one fused schedule over all stages (warmup → cosine)
-        steps_per_epoch = steps_per_epoch or (
-            config["train_epoch_size"] // config["batch_size"]
+        # one fused schedule over all stages (warmup → cosine); the length
+        # must equal the batches the loader actually yields — ceil division
+        # (ClipLoader drop_last=False), else the LR bottoms out early
+        steps_per_epoch = steps_per_epoch or -(
+            -config["train_epoch_size"] // config["batch_size"]
         )
         self.steps_per_epoch = steps_per_epoch
         stages = list(zip(config["num_epochs"], config["stages"]))

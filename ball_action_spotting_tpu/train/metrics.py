@@ -33,8 +33,7 @@ class PerClassMetric:
 
     def results(self, prefix: str = "") -> dict[str, float]:
         scores = self.compute()
-        # classes absent from this val split score nan and drop out of the mean
-        out = {f"{prefix}{self.name}": float(np.nanmean(scores))}
+        out = {f"{prefix}{self.name}": float(np.mean(scores))}
         for i, cls in enumerate(self.classes):
             out[f"{prefix}{self.name}_{cls.lower()}"] = float(scores[i])
         return out
@@ -54,7 +53,11 @@ class AveragePrecision(PerClassMetric):
             if (y_true[:, c] > 0).any():
                 scores.append(float(average_precision_score(y_true[:, c], y_pred[:, c])))
             else:
-                scores.append(float("nan"))
+                # sklearn's average_precision_score returns 0 (with a
+                # warning) for a class absent from the split; match it so
+                # the monitored mean equals the reference's
+                # (reference src/metrics.py:47).
+                scores.append(0.0)
         return scores
 
 

@@ -115,9 +115,16 @@ def build_datasets(config: dict, domain: Domain, train_games: Sequence[str],
         frame_index_shaker=shaker,
         base_seed=base_seed,
     )
+    from ball_action_spotting_tpu.data.video import make_sequential_factory
+
+    # validation enumerates actions in video order — a rolling-buffer wrapper
+    # on codec sources decodes each frame once (reference SequentialDataLoader
+    # frame_buffer_size = stack_size * stack_step, train.py:120-125)
+    val_buffer = ap["frame_stack_size"] * ap["frame_stack_step"] * 2
     val_dataset = ValClipDataset(
         val_data, list(domain.classes), indexes_generator, target_proc,
         image_size=image_size,
+        source_factory=make_sequential_factory(val_buffer),
     )
     return train_dataset, val_dataset
 

@@ -57,14 +57,38 @@ def test_action_config_loads(monkeypatch):
 
 
 def test_average_precision_handles_empty_class():
+    # sklearn returns 0 (with a warning) for a never-positive class; the
+    # reference's monitored mean therefore includes it (src/metrics.py:47)
     ap = AveragePrecision(["A", "B"])
     ap.update({
         "prediction": np.asarray([[0.9, 0.1], [0.2, 0.3]]),
         "target": np.asarray([[1.0, 0.0], [0.0, 0.0]]),  # B never positive
     })
     res = ap.results("val_")
-    assert np.isnan(res["val_average_precision_b"])
-    assert res["val_average_precision"] == res["val_average_precision_a"]
+    assert res["val_average_precision_b"] == 0.0
+    assert res["val_average_precision"] == pytest.approx(
+        res["val_average_precision_a"] / 2
+    )
+
+
+def test_trainer_schedule_length_matches_loader(tmp_path):
+    # drop_last=False -> ceil(epoch_size / batch) steps per epoch; the
+    # cosine length must match or the LR bottoms out before the run ends
+    from tests.test_train_engine import tiny_config
+    from ball_action_spotting_tpu.train.engine import Trainer
+
+    config = tiny_config(train_epoch_size=12, batch_size=8)
+    trainer = Trainer(config, ["PASS", "DRIVE"], tmp_path / "exp")
+    assert trainer.steps_per_epoch == 2  # ceil(12/8), not floor
+    total_steps = trainer.steps_per_epoch * sum(config["num_epochs"])
+    min_lr = max(get_lr(config["min_base_lr"], config["batch_size"]), 1e-8)
+    schedule = warmup_cosine(
+        config["argus_params"]["optimizer"][1]["lr"], min_lr,
+        warmup_steps=trainer.steps_per_epoch * config["num_epochs"][0],
+        cosine_steps=trainer.steps_per_epoch * config["num_epochs"][1],
+    )
+    # one step before the end the LR is still above the floor
+    assert float(schedule(total_steps - 1)) > min_lr * 1.0001
 
 
 def test_accuracy_metric():

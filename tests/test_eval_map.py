@@ -39,10 +39,11 @@ def test_average_precision_all_false():
 
 
 def test_average_precision_half():
-    # one TP at high conf, one GT never found → recall caps at 0.5
+    # one TP at high conf, one GT never found → recall caps at 0.5;
+    # 11-point: j in {0,...,0.5} → precision 1, j > 0.5 → no points → 6/11
     dets = np.array([[0.9, 1.0]])
     ap = average_precision(dets, total_gt=2)
-    assert 0.45 < ap < 0.55
+    assert abs(ap - 6 / 11) < 1e-9
 
 
 def test_average_map_two_classes():
@@ -56,11 +57,12 @@ def test_average_map_two_classes():
     assert abs(a_map - np.mean(per_class)) < 1e-9
 
 
-def test_average_map_empty_class_is_nan_ignored():
+def test_average_map_empty_class_scores_zero_like_official():
     games_gt = [{"A": [100], "B": []}]
     games_pred = [{"A": [(100, 0.9)], "B": []}]
     a_map, per_class = average_map(
         games_gt, games_pred, ["A", "B"], framerate=25.0, deltas=np.array([1])
     )
-    assert np.isnan(per_class[1])
-    assert a_map > 0.99
+    # official evaluator keeps GT-less classes in the mean at AP 0
+    assert per_class[1] == 0.0
+    assert abs(a_map - 0.5) < 1e-9
