@@ -51,6 +51,7 @@ class InvertedResidual3d(nn.Module):
     bn_eps: float = 1e-5
     axis_name: str | None = None
     dtype: Any = jnp.float32
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,17 +60,17 @@ class InvertedResidual3d(nn.Module):
 
         x = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
-                         dtype=self.dtype, name="bn1")(x, train)
+                         dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
         x = nn.Conv(
             mid, (3, 3, 3), padding="SAME", feature_group_count=mid,
             use_bias=False, name="conv_dw", dtype=self.dtype,
         )(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
-                         dtype=self.dtype, name="bn2")(x, train)
+                         dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
         x = SqueezeExcite3d(self.se_reduce_ratio, self.act, dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
         x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name,
-                         dtype=self.dtype, name="bn3")(x, train)
+                         dtype=self.dtype, folded=self.bn_folded, name="bn3")(x, train)
         x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
 

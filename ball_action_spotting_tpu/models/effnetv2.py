@@ -173,6 +173,11 @@ class BatchNormAct(nn.Module):
     ``axis_name`` turns this into a sync BN via cross-device mean/var —
     needed because the reference's recipe normalizes over batch 4 on one
     GPU (SURVEY §7 hard-part 6).
+
+    ``folded=True`` is the inference-only fused form: the BN scale has been
+    absorbed into the preceding conv's kernel and the shift into a single
+    per-channel ``bias`` param (see ``models/fold_bn.py``), so this module
+    reduces to add-bias → act.
     """
 
     act: Callable | None = jax.nn.silu
@@ -180,9 +185,20 @@ class BatchNormAct(nn.Module):
     momentum: float = 0.9
     axis_name: str | None = None
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.folded:
+            if train:
+                raise ValueError("folded BatchNormAct is inference-only")
+            bias = self.param(
+                "bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32
+            )
+            x = x + bias.astype(self.dtype)
+            if self.act is not None:
+                x = self.act(x)
+            return x.astype(self.dtype)
         # Batch-stat accumulation needs f32; inference is a pure affine
         # normalize and runs in the compute dtype — avoids materializing f32
         # copies of every activation map between bf16 convs (measured ~20%
@@ -248,6 +264,7 @@ class ConvBnAct(nn.Module):
     axis_name: str | None = None
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -256,7 +273,7 @@ class ConvBnAct(nn.Module):
             self.channels, (self.kernel, self.kernel), strides=self.stride,
             padding="SAME", use_bias=False, name="conv", dtype=self.dtype,
         )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
         if self.stride == 1 and shortcut.shape[-1] == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
@@ -274,6 +291,7 @@ class EdgeResidual(nn.Module):
     axis_name: str | None = None
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -284,9 +302,9 @@ class EdgeResidual(nn.Module):
             mid, (self.kernel, self.kernel), strides=self.stride,
             padding="SAME", use_bias=False, name="conv_exp", dtype=self.dtype,
         )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
         x = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
-        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn2")(x, train)
+        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
         if self.stride == 1 and in_ch == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
@@ -305,6 +323,7 @@ class InvertedResidual2d(nn.Module):
     axis_name: str | None = None
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -312,17 +331,17 @@ class InvertedResidual2d(nn.Module):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
         x = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
         x = nn.Conv(
             mid, (self.kernel, self.kernel), strides=self.stride, padding="SAME",
             feature_group_count=mid, use_bias=False, name="conv_dw", dtype=self.dtype,
         )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn2")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
         if self.se_ratio > 0:
             rd = max(1, int(in_ch * self.se_ratio))
             x = SqueezeExcite2d(rd, self.act, dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
-        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn3")(x, train)
+        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn3")(x, train)
         if self.stride == 1 and in_ch == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
@@ -351,6 +370,7 @@ class EfficientNetV2Features(nn.Module):
     # Mathematically exact: stem weights transform bijectively
     # (torch_import handles it for pretrained checkpoints).
     stem_space_to_depth: bool = False
+    bn_folded: bool = False
 
     @staticmethod
     def feature_channels(model_name: str, out_index: int) -> int:
@@ -390,7 +410,7 @@ class EfficientNetV2Features(nn.Module):
                 stem_ch, (3, 3), strides=2, padding="SAME", use_bias=False,
                 name="conv_stem", dtype=self.dtype,
             )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
 
         block_idx = 0
         for stage_idx, stage in enumerate(stages):
@@ -403,7 +423,8 @@ class EfficientNetV2Features(nn.Module):
                 common = dict(
                     channels=stage.channels, kernel=stage.kernel, stride=stride,
                     act=self.act, bn_eps=self.bn_eps, axis_name=self.axis_name,
-                    drop_path_rate=dpr, dtype=self.dtype, name=name,
+                    drop_path_rate=dpr, dtype=self.dtype,
+                    bn_folded=self.bn_folded, name=name,
                 )
                 if stage.kind == "cn":
                     x = ConvBnAct(**common)(x, train)

@@ -72,6 +72,7 @@ class MultiDimStacker(nn.Module):
     axis_name: str | None = None
     dtype: Any = jnp.float32
     stem_space_to_depth: bool = False
+    bn_folded: bool = False
 
     @property
     def num_stacks(self) -> int:
@@ -96,6 +97,7 @@ class MultiDimStacker(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             stem_space_to_depth=self.stem_space_to_depth,
+            bn_folded=self.bn_folded,
         )
         self.conv2d_projection_conv = nn.Conv(
             self.num_3d_features, (1, 1), use_bias=False,
@@ -105,7 +107,7 @@ class MultiDimStacker(nn.Module):
         # the TF-ported encoder (reference multidim_stacker.py:164,178-185).
         self.conv2d_projection_bn = BatchNormAct(
             act, 1e-5, axis_name=self.axis_name, dtype=self.dtype,
-            name="conv2d_projection_bn",
+            folded=self.bn_folded, name="conv2d_projection_bn",
         )
         self.conv3d_encoder = [
             InvertedResidual3d(
@@ -116,6 +118,7 @@ class MultiDimStacker(nn.Module):
                 drop_path_rate=self.drop_path_rate,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                bn_folded=self.bn_folded,
                 name=f"conv3d_encoder_{i}",
             )
             for i in range(self.num_3d_blocks)
@@ -126,7 +129,7 @@ class MultiDimStacker(nn.Module):
         )
         self.conv3d_projection_bn = BatchNormAct(
             act, 1e-5, axis_name=self.axis_name, dtype=self.dtype,
-            name="conv3d_projection_bn",
+            folded=self.bn_folded, name="conv3d_projection_bn",
         )
         self.global_pool = GeneralizedMeanPooling(3.0, name="global_pool")
         self.dropout = nn.Dropout(self.drop_rate)

@@ -76,8 +76,12 @@ class MultiStreamPredictor(PredictorBase):
         self, items: Sequence[tuple]
     ) -> list[tuple[object, Optional[jax.Array], int]]:
         gen = self.indexes_generator
-        # 1) ingest frames; resolve each stream's lagging window
-        plans = []  # (stream_id, state, predict_index, stacks or None)
+        # 1) ingest frames; resolve each stream's lagging window. Window
+        # frames are SNAPSHOTTED into the plan: a later item of the same
+        # stream in this very batch advances the eviction horizon, so
+        # phase 2 must not re-read ``state.frames`` (regression:
+        # ``tests/test_multistream.py`` multi-frame-per-stream case).
+        plans = []  # (stream_id, state, predict_index, stacks or None, frames)
         for stream_id, frame, index in items:
             state = self._state(stream_id)
             state.frames[index] = self.pad_frame(np.asarray(frame))
@@ -91,26 +95,28 @@ class MultiStreamPredictor(PredictorBase):
                 del state.features[k]
             if set(window) <= set(state.frames):
                 stacks = list(_batched(window, self.model_stack_size))
+                window_frames = {i: state.frames[i] for i in window}
             else:
                 stacks = None
-            plans.append((stream_id, state, predict_index, stacks))
+                window_frames = None
+            plans.append((stream_id, state, predict_index, stacks, window_frames))
 
         # 2) one 2D call for every missing stack across all streams
-        missing: list[tuple[_StreamState, tuple[int, ...]]] = []
+        missing: list[tuple[_StreamState, tuple[int, ...], dict]] = []
         seen = set()
-        for _, state, _, stacks in plans:
+        for _, state, _, stacks, window_frames in plans:
             if not stacks:
                 continue
             for stack in stacks:
                 key = (id(state), stack)
                 if stack not in state.features and key not in seen:
                     seen.add(key)
-                    missing.append((state, stack))
+                    missing.append((state, stack, window_frames))
         if missing:
             batch = np.stack(
                 [
-                    np.stack([state.frames[i] for i in stack], axis=0)
-                    for state, stack in missing
+                    np.stack([frames[i] for i in stack], axis=0)
+                    for state, stack, frames in missing
                 ],
                 axis=0,
             )
@@ -119,7 +125,7 @@ class MultiStreamPredictor(PredictorBase):
             if nb != n:  # pad with repeats to the bucket shape
                 batch = np.concatenate([batch, np.repeat(batch[-1:], nb - n, axis=0)])
             feats = self._fwd2d(self.variables, jnp.asarray(batch))
-            for j, (state, stack) in enumerate(missing):
+            for j, (state, stack, _) in enumerate(missing):
                 state.features[stack] = feats[j]  # (tta, h, w, C)
 
         # 3) one 3D+head call for every complete window
@@ -129,7 +135,7 @@ class MultiStreamPredictor(PredictorBase):
             window_feats = jnp.stack(
                 [
                     jnp.stack([state.features[s] for s in stacks], axis=1)
-                    for _, state, _, stacks in ready
+                    for _, state, _, stacks, _ in ready
                 ],
                 axis=0,
             )  # (M, tta, S, h, w, C)
@@ -147,6 +153,6 @@ class MultiStreamPredictor(PredictorBase):
 
         out = []
         for plan in plans:
-            stream_id, _, predict_index, _ = plan
+            stream_id, _, predict_index = plan[:3]
             out.append((stream_id, results.get(id(plan)), predict_index))
         return out

@@ -1,0 +1,248 @@
+"""HTTP serving front-end for ``MultiStreamPredictor``.
+
+Turns the library-level multi-stream engine (``predict/multistream.py``) into
+the production serving shape: a small stdlib HTTP server that ingests live
+grayscale frames for many concurrent streams, batches device work across
+streams on a dedicated batcher thread, and exposes per-stream spotting
+results for polling. No extra dependencies — ``http.server`` + threads.
+
+API (all JSON unless noted):
+  POST /v1/streams/<id>/frames?index=N&height=H&width=W
+        body: raw uint8 grayscale bytes (H·W). 202 on accept.
+  GET  /v1/streams/<id>/results?since=K
+        → {"results": [{"index": i, "probs": [...]}, ...], "next": K'}
+        (``since`` is the cursor returned as ``next`` by the previous poll)
+  POST /v1/streams/<id>/close   — drop stream state.
+  GET  /healthz                 — {"ok": true, "streams": S}
+  GET  /v1/stats                — counters (frames in, predictions out, ticks)
+
+Design: request handlers only enqueue; one batcher thread drains the queue
+and makes the batched device calls (``predict_batch``), so TPU programs are
+issued from a single thread with cross-stream batching intact. Device
+results are materialized on the batcher thread and buffered per stream for
+polling — the client never blocks on TPU latency.
+
+The reference has no serving component (its ``src/predictors.py`` is
+offline-only); this is framework-added capability, see README serving
+section.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class SpottingService:
+    """Batches frames across streams onto the device; thread-safe facade
+    over ``MultiStreamPredictor``."""
+
+    def __init__(self, predictor, max_batch: int = 16,
+                 tick_timeout_s: float = 0.005, result_capacity: int = 4096):
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.tick_timeout_s = float(tick_timeout_s)
+        self.result_capacity = int(result_capacity)
+        self._ingest: "queue.Queue[tuple]" = queue.Queue()
+        self._results: dict[str, list[tuple[int, list[float]]]] = {}
+        self._results_lock = threading.Lock()
+        self._stats = {"frames_in": 0, "predictions_out": 0, "ticks": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="spotting-batcher")
+        self._thread.start()
+
+    # -- ingest/poll API (called from HTTP handler threads) -------------------
+
+    def submit_frame(self, stream_id: str, frame: np.ndarray, index: int) -> None:
+        self._ingest.put((stream_id, frame, index))
+        self._stats["frames_in"] += 1
+
+    def poll_results(self, stream_id: str, since: int) -> tuple[list, int]:
+        with self._results_lock:
+            buf = self._results.get(stream_id, [])
+            out = [
+                {"index": idx, "probs": probs}
+                for idx, probs in buf[since:]
+            ]
+            return out, len(buf)
+
+    def close_stream(self, stream_id: str) -> None:
+        self.predictor_close(stream_id)
+        with self._results_lock:
+            self._results.pop(stream_id, None)
+
+    def predictor_close(self, stream_id: str) -> None:
+        # route through the batcher queue so predictor state is only touched
+        # from the batcher thread
+        self._ingest.put((stream_id, None, -1))
+
+    def stats(self) -> dict:
+        with self._results_lock:
+            streams = len(self._results)
+        return dict(self._stats, streams=streams)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- batcher thread --------------------------------------------------------
+
+    def _drain(self) -> list[tuple]:
+        """Up to ``max_batch`` queued items; blocks briefly for the first."""
+        items: list[tuple] = []
+        try:
+            items.append(self._ingest.get(timeout=self.tick_timeout_s))
+        except queue.Empty:
+            return items
+        while len(items) < self.max_batch:
+            try:
+                items.append(self._ingest.get_nowait())
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            raw = self._drain()
+            if not raw:
+                continue
+            batch = []
+            for stream_id, frame, index in raw:
+                if frame is None:  # close marker
+                    self.predictor.close_stream(stream_id)
+                    continue
+                batch.append((stream_id, frame, index))
+            if not batch:
+                continue
+            try:
+                results = self.predictor.predict_batch(batch)
+            except Exception:
+                logger.exception("predict_batch failed; dropping %d frames",
+                                 len(batch))
+                continue
+            self._stats["ticks"] += 1
+            materialized = [
+                (sid, None if pred is None else np.asarray(pred), idx)
+                for sid, pred, idx in results
+            ]
+            with self._results_lock:
+                for sid, pred, idx in materialized:
+                    if pred is None:
+                        continue
+                    buf = self._results.setdefault(sid, [])
+                    buf.append((idx, [float(p) for p in pred]))
+                    if len(buf) > self.result_capacity:
+                        del buf[: len(buf) - self.result_capacity]
+                    self._stats["predictions_out"] += 1
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SpottingService  # set by make_server
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("%s - %s", self.address_string(), fmt % args)
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _parse(self):
+        parsed = urllib.parse.urlparse(self.path)
+        parts = [p for p in parsed.path.split("/") if p]
+        params = dict(urllib.parse.parse_qsl(parsed.query))
+        return parts, params
+
+    def do_GET(self):
+        parts, params = self._parse()
+        if parts == ["healthz"]:
+            stats = self.service.stats()
+            return self._json(200, {"ok": True, "streams": stats["streams"]})
+        if parts == ["v1", "stats"]:
+            return self._json(200, self.service.stats())
+        if len(parts) == 4 and parts[:2] == ["v1", "streams"] and parts[3] == "results":
+            since = int(params.get("since", 0))
+            results, nxt = self.service.poll_results(parts[2], since)
+            return self._json(200, {"results": results, "next": nxt})
+        return self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        parts, params = self._parse()
+        if len(parts) == 4 and parts[:2] == ["v1", "streams"]:
+            stream_id = parts[2]
+            if parts[3] == "frames":
+                try:
+                    index = int(params["index"])
+                    height = int(params["height"])
+                    width = int(params["width"])
+                except (KeyError, ValueError):
+                    return self._json(400, {"error": "index/height/width required"})
+                length = int(self.headers.get("Content-Length", 0))
+                if length != height * width:
+                    return self._json(
+                        400,
+                        {"error": f"body must be {height * width} uint8 bytes"},
+                    )
+                body = self.rfile.read(length)
+                frame = np.frombuffer(body, np.uint8).reshape(height, width)
+                self.service.submit_frame(stream_id, frame, index)
+                return self._json(202, {"accepted": True, "index": index})
+            if parts[3] == "close":
+                self.service.close_stream(stream_id)
+                return self._json(200, {"closed": True})
+        return self._json(404, {"error": "not found"})
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
+                **service_kwargs) -> tuple[ThreadingHTTPServer, SpottingService]:
+    """Build (server, service). ``server.serve_forever()`` to run;
+    ``service.stop()`` + ``server.shutdown()`` to tear down. ``port=0``
+    binds an ephemeral port (``server.server_address[1]``)."""
+    service = SpottingService(predictor, **service_kwargs)
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, service
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    """CLI: serve a checkpoint. ``python -m
+    ball_action_spotting_tpu.predict.server --checkpoint ... --port 8080``."""
+    import argparse
+
+    from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--tta", action="store_true")
+    parser.add_argument("--max_batch", type=int, default=16)
+    args = parser.parse_args(argv)
+
+    predictor = MultiStreamPredictor(args.checkpoint, tta=args.tta)
+    server, service = make_server(
+        predictor, args.host, args.port, max_batch=args.max_batch
+    )
+    logger.info("serving on %s:%d", *server.server_address)
+    try:
+        server.serve_forever()
+    finally:
+        service.stop()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

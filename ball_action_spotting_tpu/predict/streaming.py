@@ -57,15 +57,22 @@ class PredictorBase:
         tta: bool = False,
         use_ema: bool = True,
         dtype=jnp.bfloat16,
+        fold_bn: bool = True,
     ):
         variables, params = resolve_pretrain_variables(Path(checkpoint_path), use_ema)
+        if fold_bn:
+            # inference-only: absorb BN scale/bias into conv weights
+            # (models/fold_bn.py) — exact up to float rounding
+            from ball_action_spotting_tpu.models.fold_bn import fold_bn_variables
+
+            variables = fold_bn_variables(variables)
         # pin params on device once — committed host arrays would otherwise
         # re-upload ~28 MB of weights on every jitted call
         variables = jax.device_put(variables)
         self.params = params
         nn_name, nn_kwargs = params["nn_module"]
         assert nn_name == "multidim_stacker", nn_name
-        self.model = build_model(nn_name, dtype=dtype, **nn_kwargs)
+        self.model = build_model(nn_name, dtype=dtype, bn_folded=fold_bn, **nn_kwargs)
         self.variables = variables
         self.tta = tta
         self.num_tta = 2 if tta else 1

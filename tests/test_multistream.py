@@ -79,3 +79,29 @@ def test_multistream_tta_and_stream_lifecycle(ckpt_path):  # noqa: F811
     np.testing.assert_allclose(got, raw, atol=1e-5)
     multi.close_stream("a")
     assert "a" not in multi._streams
+
+
+def test_multistream_multiple_frames_per_stream_per_call(ckpt_path):  # noqa: F811
+    """Regression: >1 frame of the same stream in ONE predict_batch call.
+    The later frame's eviction horizon must not break the earlier frame's
+    window (phase-2 snapshot, multistream.py predict_batch phase 1)."""
+    multi = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+    src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                          seed=10, events={20: 0, 30: 1})
+    frames = [src.fetch_frame() for _ in range(FRAME_COUNT)]
+    collected = {}
+    chunk = 4  # 4 consecutive frames of one stream per call
+    for c0 in range(0, FRAME_COUNT, chunk):
+        batch = [("s", frames[c0 + j], c0 + j)
+                 for j in range(min(chunk, FRAME_COUNT - c0))]
+        for _, pred, predict_index in multi.predict_batch(batch):
+            if pred is not None and predict_index >= 0:
+                collected[predict_index] = np.asarray(pred)
+
+    ref_src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                              seed=10, events={20: 0, 30: 1})
+    single = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+    idx, raw = get_raw_predictions(single, ref_src, FRAME_COUNT)
+    assert set(idx) <= set(collected)
+    for j, i in enumerate(idx):
+        np.testing.assert_allclose(collected[i], raw[j], atol=1e-5)

@@ -1,0 +1,178 @@
+"""Integration test for the HTTP serving front-end (predict/server.py):
+two synthetic live streams fed over HTTP must yield exactly the per-stream
+StreamingPredictor outputs."""
+
+import json
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tests.test_models  # registers efficientnetv2_test arch
+from ball_action_spotting_tpu.data.video import SyntheticSource
+from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+from ball_action_spotting_tpu.predict.server import make_server
+from ball_action_spotting_tpu.predict.streaming import (
+    StreamingPredictor,
+    get_raw_predictions,
+)
+from ball_action_spotting_tpu.train.checkpoint import save_checkpoint
+
+NN_KWARGS = dict(
+    model_name="efficientnetv2_test",
+    num_classes=2,
+    num_frames=6,
+    stack_size=3,
+    index_2d_features=4,
+    num_3d_blocks=1,
+    num_3d_features=16,
+    num_3d_stack_proj=16,
+    expansion_3d_ratio=2,
+    se_reduce_3d_ratio=4,
+    drop_rate=0.0,
+    drop_path_rate=0.0,
+)
+PARAMS = {
+    "nn_module": ("multidim_stacker", NN_KWARGS),
+    "frame_stack_size": 6,
+    "frame_stack_step": 2,
+    "frames_processor": ("pad_normalize", {"size": (96, 64)}),
+}
+FRAME_COUNT = 24
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    from ball_action_spotting_tpu.models import build_model
+
+    model = build_model("multidim_stacker", **NN_KWARGS)
+    x = jnp.zeros((1, 6, H, W), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(3)}, x, train=False)
+    path = tmp_path_factory.mktemp("ckpt") / "model-001-0.500000.ckpt"
+    save_checkpoint(path, PARAMS, variables)
+    return path
+
+
+def _stream_frames(seed):
+    src = SyntheticSource(num_frames=FRAME_COUNT, height=H, width=W, seed=seed,
+                          events={10: 0, 18: 1})
+    return np.stack([src.fetch_frame(i) for i in range(FRAME_COUNT)])
+
+
+def _http(method, url, data=None):
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/octet-stream")
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_server_end_to_end(ckpt_path):
+    predictor = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+    server, service = make_server(predictor, max_batch=4)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    thread = __import__("threading").Thread(target=server.serve_forever,
+                                            daemon=True)
+    thread.start()
+    try:
+        status, payload = _http("GET", f"{base}/healthz")
+        assert status == 200 and payload["ok"]
+
+        streams = {"a": _stream_frames(1), "b": _stream_frames(2)}
+        for i in range(FRAME_COUNT):  # interleave the two streams
+            for sid, frames in streams.items():
+                status, _ = _http(
+                    "POST",
+                    f"{base}/v1/streams/{sid}/frames?index={i}&height={H}&width={W}",
+                    data=frames[i].tobytes(),
+                )
+                assert status == 202
+
+        # expected coverage per stream (window 6 / step 2 → lag, see
+        # StreamingPredictor): collect ground truth per stream
+        expected = {}
+        for sid, frames in streams.items():
+            sp = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+            src = SyntheticSource(num_frames=FRAME_COUNT, height=H, width=W,
+                                  seed={"a": 1, "b": 2}[sid],
+                                  events={10: 0, 18: 1})
+            idx, raw = get_raw_predictions(sp, src, FRAME_COUNT)
+            expected[sid] = (idx, raw)
+
+        # poll until each stream has all expected results (async batcher)
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            done = True
+            for sid in streams:
+                _, payload = _http("GET",
+                                   f"{base}/v1/streams/{sid}/results?since=0")
+                got[sid] = payload["results"]
+                # server emits every in-range prediction the streaming
+                # predictor would (predict indexes ≥ first full window)
+                if len([r for r in got[sid]
+                        if r["index"] >= expected[sid][0][0]]) < len(expected[sid][0]):
+                    done = False
+            if done:
+                break
+            time.sleep(0.2)
+        assert done, {k: len(v) for k, v in got.items()}
+
+        for sid in streams:
+            exp_idx, exp_raw = expected[sid]
+            by_index = {r["index"]: r["probs"] for r in got[sid]}
+            for j, idx in enumerate(exp_idx):
+                np.testing.assert_allclose(
+                    by_index[idx], exp_raw[j], atol=1e-5,
+                    err_msg=f"stream {sid} index {idx}",
+                )
+
+        # cursor semantics: since=next returns nothing new
+        _, payload = _http("GET", f"{base}/v1/streams/a/results?since=0")
+        nxt = payload["next"]
+        _, payload2 = _http("GET",
+                            f"{base}/v1/streams/a/results?since={nxt}")
+        assert payload2["results"] == []
+
+        # close + stats
+        status, payload = _http("POST", f"{base}/v1/streams/a/close")
+        assert status == 200 and payload["closed"]
+        _, stats = _http("GET", f"{base}/v1/stats")
+        assert stats["frames_in"] == 2 * FRAME_COUNT
+        assert stats["predictions_out"] >= 2 * len(expected["a"][0])
+    finally:
+        server.shutdown()
+        service.stop()
+
+
+def test_server_rejects_bad_requests(ckpt_path):
+    predictor = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+    server, service = make_server(predictor)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    thread = __import__("threading").Thread(target=server.serve_forever,
+                                            daemon=True)
+    thread.start()
+    try:
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _http("POST", f"{base}/v1/streams/x/frames?index=0",
+                  data=b"\x00" * 10)
+        assert err.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _http("POST",
+                  f"{base}/v1/streams/x/frames?index=0&height=4&width=4",
+                  data=b"\x00" * 10)  # wrong length
+        assert err.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _http("GET", f"{base}/nope")
+        assert err.value.code == 404
+    finally:
+        server.shutdown()
+        service.stop()
