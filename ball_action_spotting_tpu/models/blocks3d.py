@@ -18,6 +18,38 @@ from flax import linen as nn
 from ball_action_spotting_tpu.models.effnetv2 import BatchNormAct, DropPath
 
 
+class DepthwiseConv3d(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3,3,3), feature_group_count=features,
+    use_bias=False)``: identical ``kernel`` param (shape, init, name — so
+    checkpoints/importers/fold_bn are unaffected), with a pluggable compute
+    path. The default is XLA's grouped-conv lowering: on a v5e it measured
+    23.9 ms per flagship 256-window chunk, beating every alternative tried
+    (Pallas slab-accumulator kernel 48 ms, Pallas row-accumulator 39 ms,
+    fused 27-term shift-sum 60 ms — see ``ops/pallas_dwconv3d.py``); the
+    unaligned lane/sublane shifts make this op VPU-layout-bound, so it is
+    at its practical floor. ``use_pallas=True`` opts into the Pallas
+    kernel at inference for future tuning work."""
+
+    features: int
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, 1, self.features), jnp.float32,
+        )
+        from ball_action_spotting_tpu.ops.pallas_dwconv3d import (
+            dwconv3d,
+            dwconv3d_reference,
+        )
+
+        if self.use_pallas and not train:
+            return dwconv3d(x, kernel.astype(self.dtype))
+        return dwconv3d_reference(x, kernel.astype(self.dtype))
+
+
 class SqueezeExcite3d(nn.Module):
     """SE over (T, H, W); reduction = channels // reduce_ratio
     (reference ``multidim_stacker.py:72-90``)."""
@@ -61,10 +93,7 @@ class InvertedResidual3d(nn.Module):
         x = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
                          dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
-        x = nn.Conv(
-            mid, (3, 3, 3), padding="SAME", feature_group_count=mid,
-            use_bias=False, name="conv_dw", dtype=self.dtype,
-        )(x)
+        x = DepthwiseConv3d(mid, dtype=self.dtype, name="conv_dw")(x, train)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
                          dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
         x = SqueezeExcite3d(self.se_reduce_ratio, self.act, dtype=self.dtype, name="se")(x)

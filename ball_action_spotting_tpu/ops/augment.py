@@ -125,27 +125,26 @@ def _lerp(a, b, t):
 # --- photometric helpers -----------------------------------------------------
 
 
-def _sharpness(clip, factor):
-    """Unsharp-mask blend (kornia RandomSharpness-style 3×3 smoothing)."""
-    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
-    blurred = _conv2d_same(clip, kernel)
-    return jnp.clip(_lerp(clip, blurred, -factor), 0.0, 1.0)
+_SHARP_KERNEL = (
+    jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+)
 
 
-def _conv2d_same(clip, kernel):
-    """(T, H, W) ⊛ (kh, kw), same padding, shared kernel across frames.
+def _conv2d_batch(x, rhs):
+    """(B, T, H, W) ⊛ per-lane (kh, kw, 1, B·T) depthwise, SAME padding.
 
-    Frames ride the channel (lane) dim as a depthwise conv — a C=1 NCHW
-    conv wastes 127/128 lanes on TPU (measured 8× slower)."""
-    t, h, w = clip.shape
-    lhs = clip.transpose(1, 2, 0)[None]  # (1, H, W, T)
-    rhs = jnp.tile(kernel[:, :, None, None], (1, 1, 1, t))  # (kh, kw, 1, T)
+    The whole batch's frames ride the channel (lane) dim in ONE conv — the
+    earlier per-clip variant put only T=15 frames on the 128 TPU lanes
+    (and vmap over per-clip kernels kept the batch off the lane dim);
+    folding batch in uses B·T=60 lanes and runs once per step."""
+    b, t, h, w = x.shape
+    lhs = x.reshape(1, b * t, h, w)
     out = jax.lax.conv_general_dilated(
         lhs, rhs, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=t,
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        feature_group_count=b * t,
     )
-    return out[0].transpose(2, 0, 1)
+    return out.reshape(b, t, h, w)
 
 
 def _motion_blur_kernel(rng, k: int, max_angle: float, direction: float):
@@ -181,8 +180,11 @@ def _posterize(clip, bits: int):
 # --- the per-clip augmentation -----------------------------------------------
 
 
-def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Array:
-    """clip: (T, H, W) float in [0,1]."""
+def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig):
+    """Per-clip stage (vmapped): geometric warp + photometric parameter
+    sampling. clip: (T, H, W) float in [0,1]. Returns (warped_clip, params);
+    the conv/elementwise photometric ops apply at batch level in
+    ``_apply_photometrics`` so their convs fold the batch into TPU lanes."""
     t, h, w = clip.shape
     keys = jax.random.split(rng, 24)
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -248,16 +250,15 @@ def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Ar
 
     clip = jax.vmap(affine_warp_matmul)(clip, inv_t)
 
-    # -- sharpness
+    # -- sharpness factor
     sharp_apply = jax.random.bernoulli(next(k), float(cfg.sharpness_p))
     sharp_factor = jnp.where(
         sharp_apply,
         jax.random.uniform(next(k), (), minval=0.0, maxval=cfg.sharpness),
         0.0,
     )
-    clip = _sharpness(clip, sharp_factor)
 
-    # -- motion blur (shared kernel across the clip, like kornia per-sample)
+    # -- motion blur kernel (shared across the clip, like kornia per-sample)
     blur_apply = jax.random.bernoulli(next(k), float(cfg.motion_blur_p))
     kernel = _motion_blur_kernel(
         next(k), cfg.motion_blur_kernel, cfg.motion_blur_angle,
@@ -267,9 +268,8 @@ def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Ar
         cfg.motion_blur_kernel // 2, cfg.motion_blur_kernel // 2
     ].set(1.0)
     kernel = jnp.where(blur_apply, kernel, identity)
-    clip = _conv2d_same(clip, kernel)
 
-    # -- brightness (multiplicative) & contrast (about per-clip mean)
+    # -- brightness (multiplicative) & contrast factors
     bright_apply = jax.random.bernoulli(next(k), float(cfg.brightness_p))
     bright = jnp.where(
         bright_apply,
@@ -277,8 +277,6 @@ def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Ar
                            maxval=cfg.brightness[1]),
         1.0,
     )
-    clip = jnp.clip(clip * bright, 0.0, 1.0)
-
     contrast_apply = jax.random.bernoulli(next(k), float(cfg.contrast_p))
     contrast = jnp.where(
         contrast_apply,
@@ -286,29 +284,57 @@ def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig) -> jax.Ar
                            maxval=cfg.contrast[1]),
         1.0,
     )
-    mean = jnp.mean(clip)
-    clip = jnp.clip(mean + (clip - mean) * contrast, 0.0, 1.0)
 
-    # -- posterize
+    # -- posterize / gaussian noise
     post_apply = jax.random.bernoulli(next(k), float(cfg.posterize_p))
-    clip = jnp.where(post_apply, _posterize(clip, cfg.posterize_bits), clip)
-
-    # -- gaussian noise
     noise_apply = jax.random.bernoulli(next(k), float(cfg.noise_p))
     noise = jax.random.normal(next(k), clip.shape) * cfg.noise_std
-    clip = jnp.clip(clip + jnp.where(noise_apply, noise, 0.0), 0.0, 1.0)
+    noise = jnp.where(noise_apply, noise, 0.0)
 
-    return clip
+    params = dict(
+        sharp=sharp_factor, blur_kernel=kernel, bright=bright,
+        contrast=contrast, post=post_apply, noise=noise,
+    )
+    return clip, params
+
+
+def _apply_photometrics(x: jax.Array, p: dict, cfg: AugmentConfig) -> jax.Array:
+    """Batch stage: the photometric ops, in the reference pipeline's order
+    (sharpness → blur → brightness → contrast → posterize → noise), with
+    both convs folded over the whole batch."""
+    b, t, h, w = x.shape
+    # sharpness: unsharp-mask blend (kornia RandomSharpness 3×3 smoothing)
+    rhs = jnp.tile(_SHARP_KERNEL[:, :, None, None], (1, 1, 1, b * t))
+    blurred = _conv2d_batch(x, rhs)
+    x = jnp.clip(_lerp(x, blurred, -p["sharp"][:, None, None, None]), 0.0, 1.0)
+
+    # motion blur: per-clip kernels → per-lane depthwise kernels
+    rhs = p["blur_kernel"].transpose(1, 2, 0)  # (k, k, B)
+    rhs = jnp.repeat(rhs, t, axis=-1)[:, :, None, :]  # (k, k, 1, B*T)
+    x = _conv2d_batch(x, rhs)
+
+    x = jnp.clip(x * p["bright"][:, None, None, None], 0.0, 1.0)
+
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = jnp.clip(mean + (x - mean) * p["contrast"][:, None, None, None],
+                 0.0, 1.0)
+
+    x = jnp.where(p["post"][:, None, None, None],
+                  _posterize(x, cfg.posterize_bits), x)
+
+    return jnp.clip(x + p["noise"], 0.0, 1.0)
 
 
 def make_augment_fn(cfg: Optional[AugmentConfig] = None):
-    """Returns augment_fn(rng, x (B,T,H,W)) — per-sample randomness via vmap,
+    """Returns augment_fn(rng, x (B,T,H,W)) — per-sample randomness via vmap
+    for the geometric/sampling stage, batch-level photometric ops,
     jit-safe (call inside the train step)."""
     cfg = cfg or AugmentConfig()
 
     def augment(rng: jax.Array, x: jax.Array) -> jax.Array:
         rngs = jax.random.split(rng, x.shape[0])
-        return jax.vmap(lambda r, c: _augment_clip(r, c, cfg))(rngs, x)
+        x, params = jax.vmap(lambda r, c: _augment_clip(r, c, cfg))(rngs, x)
+        return _apply_photometrics(x, params, cfg)
 
     return augment
 
