@@ -11,12 +11,19 @@ once, instead of around every sampled window during training
 Usage:
     python scripts/transcode.py --domain ball_action [--games g1 g2 ...]
     python scripts/transcode.py --videos path/a.mkv path/b.mkv
+    python scripts/transcode.py --domain action --jobs 8   # first-time setup
+
+``--jobs N`` decodes N videos in parallel processes (FFmpeg decode is
+single-stream-bound; the 791 GB action dataset is a many-hour sequential
+job otherwise). Each worker owns whole videos, so stores never contend.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
+from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -28,18 +35,21 @@ from ball_action_spotting_tpu.data.gray_store import (
 from ball_action_spotting_tpu.domains import get_domain
 
 
-def transcode_one(video_path: Path, force: bool = False) -> None:
+def transcode_one(video_path: Path, force: bool = False) -> str:
     store_path = store_path_for_video(video_path)
     if store_path.exists() and not force:
-        print(f"skip (exists): {store_path}")
-        return
+        msg = f"skip (exists): {store_path}"
+        print(msg, flush=True)
+        return msg
     t0 = time.perf_counter()
     info = transcode_video_to_store(video_path, store_path)
     Path(str(video_path) + ".info.json").write_text(
         json.dumps(dict(info, fps=info.get("fps", 25.0)))
     )
     dt = time.perf_counter() - t0
-    print(f"{video_path} -> {store_path}: {info['frame_count']} frames in {dt:.1f}s")
+    msg = f"{video_path} -> {store_path}: {info['frame_count']} frames in {dt:.1f}s"
+    print(msg, flush=True)
+    return msg
 
 
 def main():
@@ -50,6 +60,9 @@ def main():
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--resolution", default="720p")
     parser.add_argument("--force", action="store_true")
+    parser.add_argument("--jobs", type=int, default=1,
+                        help="videos transcoded in parallel processes "
+                             "(0 = one per CPU)")
     args = parser.parse_args()
 
     videos: list[Path] = [Path(v) for v in (args.videos or [])]
@@ -63,8 +76,17 @@ def main():
             videos += sorted(root.rglob(f"*_{args.resolution}.mkv"))
     if not videos:
         raise SystemExit("Nothing to transcode: pass --domain and/or --videos")
-    for video in videos:
-        transcode_one(video, force=args.force)
+    jobs = args.jobs or os.cpu_count() or 1
+    if jobs <= 1 or len(videos) == 1:
+        for video in videos:
+            transcode_one(video, force=args.force)
+        return
+    # whole-video granularity: each worker process owns its decoder and its
+    # output store, so there is no shared state to guard
+    with ProcessPoolExecutor(max_workers=min(jobs, len(videos))) as pool:
+        futures = [pool.submit(transcode_one, v, args.force) for v in videos]
+        for f in futures:
+            f.result()  # surface worker exceptions
 
 
 if __name__ == "__main__":

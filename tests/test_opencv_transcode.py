@@ -74,3 +74,25 @@ def test_transcode_and_cli(video_path, tmp_path):
     mod.transcode_one(path, force=True)
     sidecar = json.loads(Path(str(path) + ".info.json").read_text())
     assert sidecar["frame_count"] == N
+
+
+def test_transcode_cli_parallel_jobs(video_path, tmp_path):
+    """--jobs 2: worker processes each own whole videos; both stores land."""
+    import shutil
+    import subprocess
+    import sys
+
+    src_path, _ = video_path
+    paths = [tmp_path / f"half{i}.avi" for i in range(2)]
+    for p in paths:
+        shutil.copy(src_path, p)
+    proc = subprocess.run(
+        [sys.executable, str(Path("scripts/transcode.py").resolve()),
+         "--videos", *map(str, paths), "--jobs", "2"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    for p in paths:
+        assert store_path_for_video(p).exists()
+        assert json.loads(Path(str(p) + ".info.json").read_text())[
+            "frame_count"] == N
