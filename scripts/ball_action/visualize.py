@@ -1,9 +1,11 @@
 """Visualization CLI: overlay per-class target/prediction/peak graphs on the
-video and write an annotated AVI.
+video and write an annotated video per half.
 
 Parity: ``/root/reference/scripts/ball_action/visualize.py`` — scrolling
 score graphs under each frame (target spikes, raw sigmoid curve, detected
-peaks), MJPG output per half.
+peaks), MJPG output per half. ``--format mp4`` writes H.264/mp4v MP4
+instead (smaller, browser-playable) when the local OpenCV build has an
+encoder; falls back per-video to MJPG AVI if the writer cannot open.
 """
 
 import argparse
@@ -35,7 +37,28 @@ def draw_graph(canvas, values, color, y0, height, thickness=1):
         cv2.line(canvas, (xs[i - 1], ys[i - 1]), (xs[i], ys[i]), color, thickness)
 
 
-def visualize_video(video_data, prediction_dir, out_path, domain):
+def open_writer(out_path, fps, size, fmt: str):
+    """VideoWriter for the requested format; mp4 tries avc1 (H.264) then
+    mp4v, and falls back to MJPG AVI when no MP4 encoder is available."""
+    import cv2
+
+    if fmt == "mp4":
+        for fourcc in ("avc1", "mp4v"):
+            writer = cv2.VideoWriter(
+                str(out_path), cv2.VideoWriter_fourcc(*fourcc), fps, size
+            )
+            if writer.isOpened():
+                return writer, out_path
+            writer.release()
+        out_path = out_path.with_suffix(".avi")
+        print(f"mp4 encoder unavailable; falling back to {out_path}")
+    writer = cv2.VideoWriter(
+        str(out_path), cv2.VideoWriter_fourcc(*"MJPG"), fps, size
+    )
+    return writer, out_path
+
+
+def visualize_video(video_data, prediction_dir, out_path, domain, fmt="avi"):
     import cv2
 
     half = video_data["half"]
@@ -48,9 +71,8 @@ def visualize_video(video_data, prediction_dir, out_path, domain):
     source = open_source(video_data)
     width, height = source.width, source.height
     out_h = height + GRAPH_HEIGHT * domain.num_classes
-    writer = cv2.VideoWriter(
-        str(out_path), cv2.VideoWriter_fourcc(*"MJPG"), video_data["fps"],
-        (width, out_h),
+    writer, out_path = open_writer(
+        out_path, video_data["fps"], (width, out_h), fmt
     )
     offset = int(frame_indexes[0])
     peaks_sets = {
@@ -88,6 +110,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--experiment", required=True, type=str)
     parser.add_argument("--folds", default="all", type=str)
+    parser.add_argument("--format", default="avi", choices=["avi", "mp4"])
     args = parser.parse_args()
 
     domain = ball.DOMAIN
@@ -100,9 +123,11 @@ def main():
             )
             out_dir = domain.visualizations_dir / args.experiment / game
             out_dir.mkdir(parents=True, exist_ok=True)
+            ext = "mp4" if args.format == "mp4" else "avi"
             for video_data in videos:
-                out_path = out_dir / f"{video_data['half']}_visualization.avi"
-                visualize_video(video_data, prediction_dir, out_path, domain)
+                out_path = out_dir / f"{video_data['half']}_visualization.{ext}"
+                visualize_video(video_data, prediction_dir, out_path, domain,
+                                fmt=args.format)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,15 @@ def test_visualize_video_writes_avi(tmp_path):
     rp = np.random.default_rng(0).random((len(fi), 2)).astype(np.float32) * 0.4
     save_raw_predictions(tmp_path / "1_raw_predictions.npz", fi, rp)
     out = tmp_path / "vis.avi"
-    viz.visualize_video(video, tmp_path, out, __import__(
-        "ball_action_spotting_tpu.domains.ball", fromlist=["DOMAIN"]).DOMAIN)
+    domain = __import__(
+        "ball_action_spotting_tpu.domains.ball", fromlist=["DOMAIN"]).DOMAIN
+    viz.visualize_video(video, tmp_path, out, domain)
     assert out.exists() and out.stat().st_size > 1000
+
+    # mp4 mode writes SOME playable file (H.264/mp4v, or the documented
+    # MJPG-AVI fallback when this OpenCV build has no MP4 encoder)
+    out_mp4 = tmp_path / "vis.mp4"
+    viz.visualize_video(video, tmp_path, out_mp4, domain, fmt="mp4")
+    written = [p for p in (out_mp4, out_mp4.with_suffix(".avi"))
+               if p.exists() and p.stat().st_size > 1000]
+    assert written
