@@ -58,6 +58,7 @@ class PredictorBase:
         use_ema: bool = True,
         dtype=jnp.bfloat16,
         fold_bn: bool = True,
+        s2d_stem: bool = False,
     ):
         variables, params = resolve_pretrain_variables(Path(checkpoint_path), use_ema)
         if fold_bn:
@@ -66,13 +67,25 @@ class PredictorBase:
             from ball_action_spotting_tpu.models.fold_bn import fold_bn_variables
 
             variables = fold_bn_variables(variables)
+        if s2d_stem:
+            # inference-only: rewrite the k3s2 stem as a k2s1 conv on
+            # space-to-depth input (exact, models/effnetv2.py:128-147) —
+            # Cin goes 3 → 12, filling more of the 128-wide MXU at the
+            # largest spatial resolution
+            from ball_action_spotting_tpu.models.effnetv2 import stem_kernel_to_s2d
+
+            stem = variables["params"]["conv2d_encoder"]["conv_stem"]
+            stem["kernel"] = jnp.asarray(
+                stem_kernel_to_s2d(np.asarray(stem["kernel"]))
+            )
         # pin params on device once — committed host arrays would otherwise
         # re-upload ~28 MB of weights on every jitted call
         variables = jax.device_put(variables)
         self.params = params
         nn_name, nn_kwargs = params["nn_module"]
         assert nn_name == "multidim_stacker", nn_name
-        self.model = build_model(nn_name, dtype=dtype, bn_folded=fold_bn, **nn_kwargs)
+        self.model = build_model(nn_name, dtype=dtype, bn_folded=fold_bn,
+                                 stem_space_to_depth=s2d_stem, **nn_kwargs)
         self.variables = variables
         self.tta = tta
         self.num_tta = 2 if tta else 1

@@ -131,6 +131,21 @@ def test_chunked_tta_matches_streaming_tta(ckpt_path):
     np.testing.assert_allclose(c_raw, s_raw, atol=1e-5)
 
 
+def test_chunked_s2d_stem_matches(ckpt_path):
+    """Inference-time space-to-depth stem rewrite is exact (fp32)."""
+    kwargs = dict(num_frames=FRAME_COUNT, height=64, width=96, seed=1,
+                  events={20: 0, 30: 1})
+    base = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=10)
+    b_idx, b_raw = base.predict_video(
+        iter_source_frames(SyntheticSource(**kwargs)), FRAME_COUNT)
+    s2d = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=10,
+                                s2d_stem=True)
+    s_idx, s_raw = s2d.predict_video(
+        iter_source_frames(SyntheticSource(**kwargs)), FRAME_COUNT)
+    assert list(s_idx) == list(b_idx)
+    np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
+
+
 def test_short_video_returns_empty(ckpt_path):
     # video shorter than one 6-frame/step-2 window → no predictions, no hang
     chunked = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=8)
