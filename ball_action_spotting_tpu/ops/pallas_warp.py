@@ -24,7 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _resample_kernel(off_ref, scale_ref, img_ref, out_ref, m_ref):
+def _resample_kernel(off_ref, scale_ref, img_ref, out_ref, m_ref, *,
+                     bf16: bool):
     """One row block: build M in VMEM, out = img_block @ M."""
     nb_idx = pl.program_id(0)
     offset = off_ref[nb_idx]
@@ -44,27 +45,31 @@ def _resample_kernel(off_ref, scale_ref, img_ref, out_ref, m_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (w_in, w_out), 0)
     w0 = ((1.0 - frac) * valid0)  # (1, W_out)
     w1 = (frac * valid1)
-    m_ref[:, :] = (
+    m = (
         (rows == jnp.clip(j0, 0, w_in - 1)) * w0
         + (rows == jnp.clip(j0 + 1, 0, w_in - 1)) * w1
-    ).astype(jnp.float32)
-
+    )
+    # same cast order as warp._resample_last_axis (paths agree to ~1e-3 in
+    # bf16 mode, exactly in highest mode — backend dots round differently)
+    m_ref[:, :] = m.astype(m_ref.dtype)
     out_ref[:, :] = jax.lax.dot(
-        img_ref[:, :].astype(jnp.float32),
+        img_ref[:, :].astype(m_ref.dtype),
         m_ref[:, :],
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(jax.lax.Precision.DEFAULT if bf16
+                   else jax.lax.Precision.HIGHEST),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "precision"))
 def resample_last_axis_pallas(
     img: jax.Array, scale: jax.Array, offsets: jax.Array, block: int = 32,
-    interpret: bool = False,
+    interpret: bool = False, precision: str = "highest",
 ) -> jax.Array:
     """out[r, x] = bilinear sample of img[r, scale·x + offsets[r]], zeros
     outside; offsets evaluated at each ``block``'s center row. Matches
-    ``warp._resample_last_axis`` (tested) with the matrices kept in VMEM."""
+    ``warp._resample_last_axis`` (tested) with the matrices kept in VMEM.
+    ``precision`` as in ``warp._resample_last_axis`` ("highest" | "bfloat16")."""
     h, w = img.shape
     hpad = -(-h // block) * block
     if hpad != h:
@@ -74,6 +79,7 @@ def resample_last_axis_pallas(
     off_c = offsets.reshape(nb, block)[:, block // 2].astype(jnp.float32)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
 
+    bf16 = precision == "bfloat16"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # per-block offsets, scale
         grid=(nb,),
@@ -83,10 +89,12 @@ def resample_last_axis_pallas(
         ],
         out_specs=pl.BlockSpec((block, w), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((w, w), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, w), jnp.bfloat16 if bf16 else jnp.float32)
+        ],
     )
     out = pl.pallas_call(
-        _resample_kernel,
+        functools.partial(_resample_kernel, bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((hpad, w), img.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

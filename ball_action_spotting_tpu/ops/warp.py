@@ -30,10 +30,17 @@ import jax.numpy as jnp
 
 
 def _resample_last_axis(
-    img: jax.Array, scale: jax.Array, offsets: jax.Array, block: int
+    img: jax.Array, scale: jax.Array, offsets: jax.Array, block: int,
+    precision: str = "highest",
 ) -> jax.Array:
     """out[r, x] = bilinear sample of img[r, scale·x + offsets[r]], zeros
-    outside; ``offsets`` evaluated per ``block`` of rows (center row)."""
+    outside; ``offsets`` evaluated per ``block`` of rows (center row).
+
+    ``precision="highest"`` keeps f32 interpolation exact on the MXU;
+    ``"bfloat16"`` runs the product at the MXU's native bf16 rate (~6x) with
+    f32 accumulation — output error ≤ ~4e-3 of the [0,1] range, under the
+    1/255 quantization the uint8 frame pipeline already carries, so it is
+    the augmentation default (``augment.AugmentConfig.warp_precision``)."""
     h, w = img.shape
     hpad = -(-h // block) * block
     if hpad != h:
@@ -58,18 +65,22 @@ def _resample_last_axis(
     ).astype(img.dtype)  # (nb, W_in, W_out)
 
     blocks = img.reshape(nb, block, w)
-    # HIGHEST keeps f32 interpolation exact on the MXU (default TPU matmul
-    # precision is bf16, ~1e-3 pixel error); the op is tiny either way
+    if precision == "bfloat16":
+        blocks = blocks.astype(jnp.bfloat16)
+        m = m.astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        prec = jax.lax.Precision.HIGHEST
     out = jax.lax.dot_general(
         blocks, m,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     ).astype(img.dtype)  # (nb, block, W_out)
     return out.reshape(hpad, w)[:h]
 
 
-def _resample(img, scale, offsets, block):
+def _resample(img, scale, offsets, block, precision):
     """Pick the Pallas kernel on TPU (interpolation matrices stay in VMEM —
     ~20% faster and no HBM matrix traffic), XLA elsewhere."""
     if jax.default_backend() == "tpu":
@@ -77,12 +88,14 @@ def _resample(img, scale, offsets, block):
             resample_last_axis_pallas,
         )
 
-        return resample_last_axis_pallas(img, scale, offsets, block)
-    return _resample_last_axis(img, scale, offsets, block)
+        return resample_last_axis_pallas(img, scale, offsets, block,
+                                         precision=precision)
+    return _resample_last_axis(img, scale, offsets, block, precision)
 
 
 def affine_warp_matmul(
-    img: jax.Array, inv_mat: jax.Array, block: int = 32
+    img: jax.Array, inv_mat: jax.Array, block: int = 32,
+    precision: str = "highest",
 ) -> jax.Array:
     """Warp one (H, W) image by the inverse map ``inv_mat`` (3×3, output →
     source coordinates on (x, y, 1)), bilinear, zeros outside.
@@ -101,15 +114,18 @@ def affine_warp_matmul(
     q = a12 / a22
     c = b1 - a12 * b2 / a22
     rows = jnp.arange(h, dtype=jnp.float32)
-    tmp = _resample(img, p, q * rows + c, block)
+    tmp = _resample(img, p, q * rows + c, block, precision)
 
     # V pass over columns x: v(y_out, x) = a22·y_out + a21·x + b2
     cols = jnp.arange(w, dtype=jnp.float32)
-    out_t = _resample(tmp.T, a22, a21 * cols + b2, block)
+    out_t = _resample(tmp.T, a22, a21 * cols + b2, block, precision)
     return out_t.T
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def affine_warp_clip(clip: jax.Array, inv_mats: jax.Array, block: int = 32):
+@functools.partial(jax.jit, static_argnames=("block", "precision"))
+def affine_warp_clip(clip: jax.Array, inv_mats: jax.Array, block: int = 32,
+                     precision: str = "highest"):
     """(T, H, W) clip warped by per-frame (T, 3, 3) inverse maps."""
-    return jax.vmap(lambda f, m: affine_warp_matmul(f, m, block))(clip, inv_mats)
+    return jax.vmap(
+        lambda f, m: affine_warp_matmul(f, m, block, precision)
+    )(clip, inv_mats)

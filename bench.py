@@ -127,7 +127,8 @@ def main() -> None:
         ckpt = Path(tmp) / "model-000-0.000000.ckpt"
         save_checkpoint(ckpt, params, jax.tree.map(np.asarray, variables))
         predictor = ChunkedVideoPredictor(
-            ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size
+            ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size,
+            s2d_stem=os.environ.get("BENCH_S2D", "0") == "1",
         )
 
     rng = np.random.default_rng(0)

@@ -28,6 +28,23 @@ def test_identity_and_padding():
     assert float(jnp.abs(out2).max()) == 0.0
 
 
+def test_bf16_mode_matches_xla_and_is_close_to_exact():
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((40, 128)).astype(np.float32))
+    offsets = jnp.asarray(np.linspace(-3.0, 5.0, 40).astype(np.float32))
+    exact = _resample_last_axis(img, 1.03, offsets, 8)
+    ref16 = jax.jit(
+        lambda i, o: _resample_last_axis(i, 1.03, o, 8, "bfloat16")
+    )(img, offsets)
+    pal16 = resample_last_axis_pallas(img, 1.03, offsets, block=8,
+                                      interpret=True, precision="bfloat16")
+    # backend dot implementations may round the bf16 product differently →
+    # near-equal across paths; both within bf16 eps of the exact f32
+    # interpolation (values in [0,1])
+    np.testing.assert_allclose(np.asarray(ref16), np.asarray(pal16), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ref16), np.asarray(exact), atol=2e-2)
+
+
 def test_vmap_batched():
     rng = np.random.default_rng(2)
     imgs = jnp.asarray(rng.random((3, 16, 128)).astype(np.float32))
