@@ -14,7 +14,12 @@ unordered result queue (``base_data_loader.py:52-63``).
 Buffer lifetime: yielded arrays are views of a rotating per-worker pool and
 remain valid for at least ``POOL_DEPTH - queue capacity`` further iterations
 — consume (e.g. ``jax.device_put`` via ``prefetch_to_device``) before
-iterating on, or copy. ``copy_out=True`` opts into fresh arrays.
+iterating on, or copy. ``copy_out=True`` opts into fresh arrays. The
+contract is enforced two ways: yielded views are read-only (mutating a
+pooled buffer would corrupt a later batch), and setting
+``BAS_TPU_LOADER_POISON=1`` fills every reused slot with 0xAB at acquire so
+stale-view reads fail loudly in tests instead of silently training on a
+newer batch's pixels.
 
 ``prefetch_to_device`` overlaps host assembly of batch N+1/N+2 with device
 compute of batch N via async ``device_put`` (the TPU analog of the
@@ -24,6 +29,7 @@ reference's decode-ahead worker pool).
 from __future__ import annotations
 
 import collections
+import os
 import queue
 import threading
 from typing import Iterator, Optional
@@ -34,6 +40,10 @@ from ball_action_spotting_tpu.data.dataset import ClipDataset
 
 POOL_DEPTH = 4
 RESULT_QUEUE_BATCHES = 2
+
+
+def _poison_enabled() -> bool:
+    return os.environ.get("BAS_TPU_LOADER_POISON", "0") == "1"
 
 
 class _BufferPool:
@@ -59,6 +69,13 @@ class _BufferPool:
     def acquire(self):
         slot = self._next
         self._next = (self._next + 1) % POOL_DEPTH
+        if _poison_enabled():
+            # make stale views of this slot visibly wrong (debug aid);
+            # (-1, -1) forces the writer's border re-zero for every sample
+            # (None would skip it and leave 0xAB in the padding)
+            self.frames[slot].fill(0xAB)
+            self.targets[slot].fill(np.float32(-1e9))
+            self.written[slot] = [(-1, -1)] * len(self.written[slot])
         return slot, self.frames[slot], self.targets[slot], self.written[slot]
 
 
@@ -152,7 +169,12 @@ class ClipLoader:
                     targets = ds.get_targets(video_index, frame_indexes)
                     targets_buf[j] = ds.target_process_fn(targets)
                 k = len(chunk)
-                result_q.put((batch_id, frames_buf[:k], targets_buf[:k]))
+                # read-only views: a consumer mutating a pooled buffer
+                # would silently corrupt a later batch
+                fv, tv = frames_buf[:k], targets_buf[:k]
+                fv.flags.writeable = False
+                tv.flags.writeable = False
+                result_q.put((batch_id, fv, tv))
         except Exception as exc:  # surface worker crashes to the consumer
             result_q.put(exc)
         finally:
