@@ -205,11 +205,21 @@ class ChunkedVideoPredictor(PredictorBase):
     tail rides along on device between chunks. Recompute overhead for the
     carry region's stacks is (S-1)·span/N ≈ 9% at N=256 — traded for a
     single fixed-shape program with no feature-cache state.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis spreads ONE
+    video's chunk program across chips — frames and the per-stack encoder
+    batch shard over the axis; GSPMD inserts the halo exchanges for the
+    strided stack/window assembly over ICI. Weights are replicated. Bit-
+    equal to the single-chip path (mesh-equality test on the 8-device CPU
+    mesh); chunk_size should be a multiple of the axis size to avoid
+    padding waste.
     """
 
-    def __init__(self, *args, chunk_size: int = 128, batch_2d: int = 32, **kwargs):
+    def __init__(self, *args, chunk_size: int = 128, batch_2d: int = 32,
+                 mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.chunk_size = chunk_size
+        self.mesh = mesh
         del batch_2d  # absorbed into the single chunk program
         self.stack_span = self.model_stack_size * self.frame_stack_step
         # overlap frames carried between chunks: stacks spanning the chunk
@@ -262,7 +272,25 @@ class ChunkedVideoPredictor(PredictorBase):
             preds = preds.reshape(n, num_tta, -1).mean(axis=1)
             return preds, frames[-self.overlap:]
 
-        self._chunk_fn = jax.jit(chunk_fn, donate_argnums=2)
+        if mesh is None:
+            self._frames_sharding = None
+            self._carry_sharding = None
+            self._chunk_fn = jax.jit(chunk_fn, donate_argnums=2)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            shard0 = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(self.variables, repl)
+            self._frames_sharding = shard0
+            self._carry_sharding = repl
+            # the small carry tail (overlap rarely divides the axis) and the
+            # weights are replicated; the chunk frames and predictions shard
+            self._chunk_fn = jax.jit(
+                chunk_fn, donate_argnums=2,
+                in_shardings=(repl, shard0, repl),
+                out_shardings=(shard0, repl),
+            )
 
     def predict_video(
         self,
@@ -303,12 +331,18 @@ class ChunkedVideoPredictor(PredictorBase):
         # bootstrapped with the first `overlap` needed frames.
         first_needed = predict_indexes[0] - behind
         take_frames(first_needed)
-        carry = jax.device_put(take_frames(self.overlap))
+
+        def put(arr, sharding=None):
+            if sharding is not None:
+                return jax.device_put(arr, sharding)
+            return jax.device_put(arr)
+
+        carry = put(take_frames(self.overlap), self._carry_sharding)
 
         predictions: list[jax.Array] = []
         total = len(predict_indexes)
         for c0 in range(0, total, n):
-            new_frames = jax.device_put(take_frames(n))
+            new_frames = put(take_frames(n), self._frames_sharding)
             preds, carry = self._chunk_fn(self.variables, new_frames, carry)
             predictions.append(preds)
 

@@ -146,6 +146,25 @@ def test_chunked_s2d_stem_matches(ckpt_path):
     np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
 
 
+def test_chunked_mesh_sharded_matches_single_device(ckpt_path):
+    """mesh=: the chunk program sharded over the 8-device CPU mesh must
+    reproduce the single-device predictions (GSPMD halo exchange for the
+    stack/window strided assembly is semantics-preserving)."""
+    from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+    kwargs = dict(num_frames=FRAME_COUNT, height=64, width=96, seed=1,
+                  events={20: 0, 30: 1})
+    base = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=16)
+    b_idx, b_raw = base.predict_video(
+        iter_source_frames(SyntheticSource(**kwargs)), FRAME_COUNT)
+    sharded = ChunkedVideoPredictor(
+        ckpt_path, dtype=jnp.float32, chunk_size=16, mesh=make_mesh(8, 1))
+    s_idx, s_raw = sharded.predict_video(
+        iter_source_frames(SyntheticSource(**kwargs)), FRAME_COUNT)
+    assert list(s_idx) == list(b_idx)
+    np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
+
+
 def test_short_video_returns_empty(ckpt_path):
     # video shorter than one 6-frame/step-2 window → no predictions, no hang
     chunked = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=8)
