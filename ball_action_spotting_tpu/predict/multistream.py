@@ -14,6 +14,11 @@ Batch sizes vary tick to tick, so calls pad up to power-of-two buckets
 (bounded set of compiled programs; padding rows are repeats and get
 discarded). Staggering stream admission by ``span`` phases keeps per-tick
 work uniform.
+
+``mesh=``: spread each tick's batched device calls over a
+``jax.sharding.Mesh``'s ``"data"`` axis (weights replicated, batch dims
+sharded, buckets floored at the axis size) — one serving frontend driving
+a whole slice. Bit-equal to the single-chip path (mesh-equality test).
 """
 
 from __future__ import annotations
@@ -54,10 +59,24 @@ class MultiStreamPredictor(PredictorBase):
     (same weights, same math — only the batching differs).
     """
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
         self._streams: dict = {}
         self._predict_offset = self.indexes_generator.make_stack_indexes(0)[-1]
+        self._min_bucket = 1
+        self._batch_sharding = None
+        if mesh is not None:
+            # spread each tick's cross-stream batches over the mesh's
+            # "data" axis: weights replicate, batch inputs are committed
+            # with a batch-dim sharding (jit propagates it through the
+            # program). Buckets are floored at the axis size so every
+            # compiled shape divides.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.variables = jax.device_put(self.variables,
+                                            NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._min_bucket = mesh.shape["data"]
 
     def reset_stream(self, stream_id) -> None:
         self._streams[stream_id] = _StreamState()
@@ -121,10 +140,12 @@ class MultiStreamPredictor(PredictorBase):
                 axis=0,
             )
             n = len(missing)
-            nb = _bucket(n)
+            nb = max(_bucket(n), self._min_bucket)
             if nb != n:  # pad with repeats to the bucket shape
                 batch = np.concatenate([batch, np.repeat(batch[-1:], nb - n, axis=0)])
-            feats = self._fwd2d(self.variables, jnp.asarray(batch))
+            x = (jnp.asarray(batch) if self._batch_sharding is None
+                 else jax.device_put(batch, self._batch_sharding))
+            feats = self._fwd2d(self.variables, x)
             for j, (state, stack, _) in enumerate(missing):
                 state.features[stack] = feats[j]  # (tta, h, w, C)
 
@@ -140,12 +161,14 @@ class MultiStreamPredictor(PredictorBase):
                 axis=0,
             )  # (M, tta, S, h, w, C)
             m, t = window_feats.shape[0], window_feats.shape[1]
-            mb = _bucket(m)
+            mb = max(_bucket(m), self._min_bucket)
             if mb != m:
                 window_feats = jnp.concatenate(
                     [window_feats, jnp.repeat(window_feats[-1:], mb - m, axis=0)]
                 )
             flat = window_feats.reshape((mb * t,) + window_feats.shape[2:])
+            if self._batch_sharding is not None:
+                flat = jax.device_put(flat, self._batch_sharding)
             preds = self._fwd3d_head(self.variables, flat)
             preds = preds.reshape(mb, t, -1).mean(axis=1)
             for j, plan in enumerate(ready):

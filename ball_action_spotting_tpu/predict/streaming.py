@@ -122,6 +122,9 @@ class PredictorBase:
                                  method=type(model).forward_head)
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 
+        # raw fns kept for subclasses that re-jit with mesh shardings
+        self._fwd2d_raw = fwd2d
+        self._fwd3d_head_raw = fwd3d_head
         self._fwd2d = jax.jit(fwd2d)
         self._fwd3d_head = jax.jit(fwd3d_head)
 

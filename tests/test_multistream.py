@@ -105,3 +105,27 @@ def test_multistream_multiple_frames_per_stream_per_call(ckpt_path):  # noqa: F8
     assert set(idx) <= set(collected)
     for j, i in enumerate(idx):
         np.testing.assert_allclose(collected[i], raw[j], atol=1e-5)
+
+
+def test_multistream_mesh_sharded_matches_per_stream(ckpt_path):  # noqa: F811
+    """mesh=: cross-stream batches shard over the 8-device CPU mesh and
+    reproduce per-stream StreamingPredictor outputs (buckets floored at the
+    axis size so every compiled shape divides)."""
+    from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+    multi = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32,
+                                 mesh=make_mesh(8, 1))
+    assert multi._min_bucket == 8
+    src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                          seed=6, events={20: 0, 30: 1})
+    preds = {}
+    for i in range(FRAME_COUNT):
+        for s, p, pi in multi.predict_batch([("a", src.fetch_frame(), i)]):
+            if p is not None and pi >= 0:
+                preds[pi] = np.asarray(p)
+    single = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+    src2 = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                           seed=6, events={20: 0, 30: 1})
+    idx, raw = get_raw_predictions(single, src2, FRAME_COUNT)
+    got = np.stack([preds[i] for i in idx])
+    np.testing.assert_allclose(got, raw, atol=1e-5)
