@@ -125,6 +125,13 @@ class SequentialWindowSource(FrameSource):
     def _ensure(self, lo: int, hi: int) -> None:
         if hi - lo + 1 > self.buffer_size:
             self.buffer_size = hi - lo + 1  # never evict inside one window
+        # mark present window frames most-recent BEFORE decoding the gaps:
+        # eviction pops oldest-inserted, which could otherwise be a frame of
+        # THIS window that entered the buffer long ago (it would then be
+        # silently zero-filled by fetch_frames)
+        for i in range(lo, hi + 1):
+            if i in self._buffer:
+                self._buffer.move_to_end(i)
         for i in range(lo, hi + 1):
             if i not in self._buffer:
                 self._decode_at(i)

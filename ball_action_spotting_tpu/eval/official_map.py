@@ -148,9 +148,14 @@ def match_class_scores(
 
 
 def _ap_from_curve(precision: np.ndarray, recall: np.ndarray) -> float:
-    """Official 11-point interpolated AP (see module docstring)."""
+    """Official 11-point interpolated AP (see module docstring).
+
+    The recall grid is ``np.arange(0, 1.1, 0.1)`` — the official package's
+    expression — NOT ``arange(11)/10``: the two differ in float64 at
+    0.3/0.6/0.7 (e.g. 0.30000000000000004 vs 0.3), which changes whether a
+    max-recall point sitting exactly on the boundary is counted."""
     ap = 0.0
-    for j in np.arange(11) / 10:
+    for j in np.arange(0, 1.1, 0.1):
         at_least = precision[recall >= j]
         if at_least.size:
             ap += float(at_least.max())

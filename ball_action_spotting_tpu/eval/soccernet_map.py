@@ -126,24 +126,19 @@ def average_precision(detections: np.ndarray, total_gt: int,
                       num_thresholds: int = 200) -> float:
     """AP over a [confidence, matched] array using the official numeric
     recipe: 200 confidence thresholds, 0/0 -> 0 precision/recall, 11-point
-    interpolation (see ``eval/official_map.py`` docstring). A class with no
-    ground truth scores 0 (it stays in the class mean, as in the official
-    evaluator)."""
-    thresholds = np.linspace(0, 1, num_thresholds)
-    precision = np.zeros(num_thresholds)
-    recall = np.zeros(num_thresholds)
-    for i, thr in enumerate(thresholds):
-        mask = detections[:, 0] >= thr if len(detections) else np.zeros(0, bool)
-        n_pred = int(mask.sum())
-        tp = float(detections[mask, 1].sum()) if n_pred else 0.0
-        precision[i] = tp / n_pred if n_pred else 0.0
-        recall[i] = tp / total_gt if total_gt else 0.0
-    ap = 0.0
-    for j in np.arange(11) / 10:
-        at_least = precision[recall >= j]
-        if at_least.size:
-            ap += float(at_least.max())
-    return ap / 11
+    interpolation — delegated to ``eval/official_map.py`` so the two
+    evaluator paths cannot drift numerically. A class with no ground truth
+    scores 0 (it stays in the class mean, as in the official evaluator)."""
+    from ball_action_spotting_tpu.eval.official_map import (
+        _ap_from_curve,
+        _threshold_curves,
+    )
+
+    if not len(detections):
+        return 0.0
+    precision, recall = _threshold_curves(detections, total_gt,
+                                          num_thresholds)
+    return _ap_from_curve(precision, recall)
 
 
 def average_map(

@@ -27,8 +27,9 @@ class DepthwiseConv3d(nn.Module):
     (Pallas slab-accumulator kernel 48 ms, Pallas row-accumulator 39 ms,
     fused 27-term shift-sum 60 ms — see ``ops/pallas_dwconv3d.py``); the
     unaligned lane/sublane shifts make this op VPU-layout-bound, so it is
-    at its practical floor. ``use_pallas=True`` opts into the Pallas
-    kernel at inference for future tuning work."""
+    at its practical floor. ``use_pallas=True`` opts into the Pallas kernel
+    at inference for future tuning work — reachable from the model entry
+    point as ``MultiDimStacker(dw3d_use_pallas=True)``."""
 
     features: int
     dtype: Any = jnp.float32
@@ -84,6 +85,7 @@ class InvertedResidual3d(nn.Module):
     axis_name: str | None = None
     dtype: Any = jnp.float32
     bn_folded: bool = False
+    dw_use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -93,7 +95,8 @@ class InvertedResidual3d(nn.Module):
         x = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
                          dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
-        x = DepthwiseConv3d(mid, dtype=self.dtype, name="conv_dw")(x, train)
+        x = DepthwiseConv3d(mid, dtype=self.dtype,
+                            use_pallas=self.dw_use_pallas, name="conv_dw")(x, train)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
                          dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
         x = SqueezeExcite3d(self.se_reduce_ratio, self.act, dtype=self.dtype, name="se")(x)

@@ -35,6 +35,7 @@ class Classifier2d(nn.Module):
     channels_last: bool = False
     axis_name: str | None = None
     dtype: Any = jnp.float32
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -48,6 +49,7 @@ class Classifier2d(nn.Module):
             act=get_act(self.act_layer),
             axis_name=self.axis_name,
             dtype=self.dtype,
+            bn_folded=self.bn_folded,
             name="encoder",
         )(x, train=train)
         if self.pool == "gem":

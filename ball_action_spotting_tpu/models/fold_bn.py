@@ -40,8 +40,11 @@ _BN_TO_CONV: dict[str, tuple[str, ...]] = {
 def default_eps_rule(path: tuple[str, ...]) -> float:
     """The model family's BN epsilons: TF-ported encoder BNs use 1e-3,
     torch-default projection/3D-block BNs use 1e-5 (see
-    ``models/effnetv2.py`` / ``models/multidim_stacker.py`` constructors)."""
-    return 1e-3 if "conv2d_encoder" in path else 1e-5
+    ``models/effnetv2.py`` / ``models/multidim_stacker.py`` constructors).
+    The encoder scope is ``conv2d_encoder`` in MultiDimStacker/
+    MultiChanStacker and ``encoder`` in Classifier2d — both are the same
+    TF-ported EfficientNetV2 (bn_eps default 1e-3)."""
+    return 1e-3 if ("conv2d_encoder" in path or "encoder" in path) else 1e-5
 
 
 def _is_bn_scope(v) -> bool:

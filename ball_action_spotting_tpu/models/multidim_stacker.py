@@ -73,6 +73,10 @@ class MultiDimStacker(nn.Module):
     dtype: Any = jnp.float32
     stem_space_to_depth: bool = False
     bn_folded: bool = False
+    # research knob: route the 3D depthwise conv through the Pallas kernel
+    # at inference (ops/pallas_dwconv3d.py; XLA's lowering measured faster
+    # on v5e — see ROADMAP "tried and rejected")
+    dw3d_use_pallas: bool = False
 
     @property
     def num_stacks(self) -> int:
@@ -119,6 +123,7 @@ class MultiDimStacker(nn.Module):
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 bn_folded=self.bn_folded,
+                dw_use_pallas=self.dw3d_use_pallas,
                 name=f"conv3d_encoder_{i}",
             )
             for i in range(self.num_3d_blocks)

@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,8 +130,12 @@ def _lerp(a, b, t):
 # --- photometric helpers -----------------------------------------------------
 
 
+# numpy on purpose: a module-level jnp.array would initialize the default
+# backend (the remote TPU under sitecustomize) at import time and pin a
+# buffer that goes stale if backends are cleared (dryrun_multichip does)
 _SHARP_KERNEL = (
-    jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    np.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]],
+             np.float32) / 13.0
 )
 
 

@@ -78,8 +78,10 @@ def _dw_kernel(xu_ref, xm_ref, xd_ref, k_ref, out_ref, pad_ref):
 def _vmem_need(h: int, w: int, c: int, itemsize: int) -> int:
     slab = h * w * c
     padded = (h + 2) * (w + 2) * c
-    # 3 input slices + 1 padded temp (compute dtype) + f32 acc + out slice
-    return (3 * slab + padded) * itemsize + 4 * slab + slab * itemsize
+    # 3 input slices + the (3, H+2, W+2, C) padded scratch (THREE padded
+    # slabs) + f32 row accumulator + out slice; an undercount here admits
+    # shapes that fail in Mosaic instead of falling back to the lax conv
+    return (3 * slab + 3 * padded) * itemsize + 4 * slab + slab * itemsize
 
 
 def dwconv3d(x: jax.Array, kernel: jax.Array, interpret: bool = False) -> jax.Array:

@@ -54,6 +54,10 @@ class SpottingService:
         self.result_capacity = int(result_capacity)
         self._ingest: "queue.Queue[tuple]" = queue.Queue()
         self._results: dict[str, list[tuple[int, list[float]]]] = {}
+        # absolute sequence number of each stream's first buffered result:
+        # poll cursors are ABSOLUTE, so trimming old results never starves
+        # or double-serves a client
+        self._results_base: dict[str, int] = {}
         self._results_lock = threading.Lock()
         self._stats = {"frames_in": 0, "predictions_out": 0, "ticks": 0}
         self._stop = threading.Event()
@@ -65,21 +69,27 @@ class SpottingService:
 
     def submit_frame(self, stream_id: str, frame: np.ndarray, index: int) -> None:
         self._ingest.put((stream_id, frame, index))
-        self._stats["frames_in"] += 1
+        with self._results_lock:  # handler threads race on +=
+            self._stats["frames_in"] += 1
 
     def poll_results(self, stream_id: str, since: int) -> tuple[list, int]:
+        """``since`` is the absolute cursor returned as ``next`` by the
+        previous poll; results older than the retention window are gone
+        (a cursor before the window resumes at its start)."""
         with self._results_lock:
             buf = self._results.get(stream_id, [])
+            base = self._results_base.get(stream_id, 0)
             out = [
                 {"index": idx, "probs": probs}
-                for idx, probs in buf[since:]
+                for idx, probs in buf[max(0, since - base):]
             ]
-            return out, len(buf)
+            return out, base + len(buf)
 
     def close_stream(self, stream_id: str) -> None:
         self.predictor_close(stream_id)
         with self._results_lock:
             self._results.pop(stream_id, None)
+            self._results_base.pop(stream_id, None)
 
     def predictor_close(self, stream_id: str) -> None:
         # route through the batcher queue so predictor state is only touched
@@ -139,11 +149,18 @@ class SpottingService:
                 for sid, pred, idx in materialized:
                     if pred is None:
                         continue
-                    buf = self._results.setdefault(sid, [])
-                    buf.append((idx, [float(p) for p in pred]))
-                    if len(buf) > self.result_capacity:
-                        del buf[: len(buf) - self.result_capacity]
-                    self._stats["predictions_out"] += 1
+                    self._record_result(sid, idx, [float(p) for p in pred])
+
+    def _record_result(self, sid: str, idx: int, probs: list) -> None:
+        """Append under ``_results_lock``; trims to ``result_capacity`` and
+        advances the stream's absolute base so poll cursors stay valid."""
+        buf = self._results.setdefault(sid, [])
+        buf.append((idx, probs))
+        if len(buf) > self.result_capacity:
+            trim = len(buf) - self.result_capacity
+            del buf[:trim]
+            self._results_base[sid] = self._results_base.get(sid, 0) + trim
+        self._stats["predictions_out"] += 1
 
 
 class _Handler(BaseHTTPRequestHandler):

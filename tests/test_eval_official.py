@@ -231,3 +231,20 @@ def test_official_matches_matcher_on_clean_spots(tmp_path, seed, metric):
     np.testing.assert_allclose(
         official["a_mAP_per_class"], matcher["a_mAP_per_class"], atol=1e-9
     )
+
+
+def test_eleven_point_grid_matches_official_float_boundaries():
+    """The official recall grid is arange(0, 1.1, 0.1) whose float64 values
+    differ from arange(11)/10 at 0.3/0.6/0.7: a detection set with recall
+    EXACTLY 0.3 must not count toward the 0.3 interpolation point (the
+    official boundary is 0.30000000000000004)."""
+    from ball_action_spotting_tpu.eval.official_map import _ap_from_curve
+    from ball_action_spotting_tpu.eval.soccernet_map import average_precision
+
+    dets = np.array([[1.0, 1.0]] * 3)  # 3 perfect detections, 10 GT
+    ap = average_precision(dets, total_gt=10)
+    assert ap == pytest.approx(3 / 11)  # j in {0, .1, .2} only — not .3
+
+    precision = np.array([1.0])
+    recall = np.array([0.3])
+    assert _ap_from_curve(precision, recall) == pytest.approx(3 / 11)

@@ -125,3 +125,23 @@ def test_predictor_fold_matches_unfolded(setup, tmp_path):
     )
     assert list(f_idx) == list(p_idx)
     np.testing.assert_allclose(f_raw, p_raw, atol=1e-5)
+
+
+def test_classifier2d_fold_matches_unfolded():
+    """Regression: the Classifier2d/"timm" family names its encoder scope
+    "encoder" (not "conv2d_encoder") — its TF-ported BNs must fold with
+    eps 1e-3 too, or folded outputs silently drift."""
+    model = build_model("classifier2d", model_name="efficientnetv2_test",
+                        num_classes=3)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 64, 96, 3)),
+                    jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables = _randomize(variables)
+    ref = model.apply(variables, x, train=False)
+
+    folded_model = build_model("classifier2d", model_name="efficientnetv2_test",
+                               num_classes=3, bn_folded=True)
+    folded = fold_bn_variables(variables)
+    out = folded_model.apply(folded, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -54,6 +54,28 @@ def test_model_tree_unchanged():
     assert p["conv_dw"]["kernel"].shape == (3, 3, 3, 1, 32)
 
 
+def test_use_pallas_reachable_from_model_entry_point():
+    """MultiDimStacker(dw3d_use_pallas=True) plumbs down to DepthwiseConv3d
+    (same params, same CPU output — the kernel routes only on TPU)."""
+    from ball_action_spotting_tpu.models import build_model
+
+    import tests.test_models  # registers efficientnetv2_test
+
+    kwargs = dict(model_name="efficientnetv2_test", num_classes=2,
+                  num_frames=6, stack_size=3, index_2d_features=4,
+                  num_3d_blocks=1, num_3d_features=16, num_3d_stack_proj=16,
+                  expansion_3d_ratio=2, se_reduce_3d_ratio=4)
+    base = build_model("multidim_stacker", **kwargs)
+    pall = build_model("multidim_stacker", dw3d_use_pallas=True, **kwargs)
+    assert pall.dw3d_use_pallas
+    x = jnp.asarray(np.random.default_rng(0).random((1, 6, 64, 96)),
+                    jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(pall.apply(variables, x, train=False)),
+        np.asarray(base.apply(variables, x, train=False)), atol=1e-6)
+
+
 def test_train_path_differentiable():
     from ball_action_spotting_tpu.models.blocks3d import InvertedResidual3d
 

@@ -94,3 +94,17 @@ def test_factory_passthrough_for_random_access_sources():
     src = factory(videos)
     assert isinstance(src, SyntheticSource)  # no pointless wrapper
     assert open_source(videos).num_frames == 100
+
+
+def test_present_window_frame_never_evicted_mid_fill():
+    """Regression: an already-buffered frame of THE CURRENT window must not
+    be evicted while the gap frames decode (oldest-inserted used to fall
+    out and fetch_frames silently zero-filled it)."""
+    inner = CountingSource(num_frames=100)
+    src = SequentialWindowSource(inner, buffer_size=8)
+    src.fetch_frames([10, 11])        # window frames enter the buffer early
+    src.fetch_frames([0, 1, 2, 3])    # stale entries, inserted AFTER 10/11
+    out = src.fetch_frames(list(range(10, 18)))  # gap decodes must evict the
+    expected = np.stack([inner._frame(i) for i in range(10, 18)])  # stale 0-3,
+    np.testing.assert_array_equal(out, expected)                   # never 10/11
+    assert not (out[0] == 0).all()

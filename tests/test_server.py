@@ -176,3 +176,39 @@ def test_server_rejects_bad_requests(ckpt_path):
     finally:
         server.shutdown()
         service.stop()
+
+
+def test_result_cursor_survives_retention_trim():
+    """Absolute poll cursors: after the buffer trims, a caught-up client
+    keeps receiving new results (regression: list-index cursors starved
+    forever once len(buf) hit capacity) and never sees duplicates."""
+    from ball_action_spotting_tpu.predict.server import SpottingService
+
+    class _StubPredictor:
+        def close_stream(self, sid):
+            pass
+
+        def predict_batch(self, batch):
+            return []
+
+    svc = SpottingService(_StubPredictor(), result_capacity=4)
+    try:
+        with svc._results_lock:
+            for i in range(4):
+                svc._record_result("s", i, [0.1 * i])
+        got1, cur = svc.poll_results("s", 0)
+        assert [r["index"] for r in got1] == [0, 1, 2, 3] and cur == 4
+        # five more results -> buffer trims to the last four
+        with svc._results_lock:
+            for i in range(4, 9):
+                svc._record_result("s", i, [0.1 * i])
+        got2, cur2 = svc.poll_results("s", cur)
+        assert [r["index"] for r in got2] == [5, 6, 7, 8]  # 4 fell out of window
+        assert cur2 == 9
+        got3, cur3 = svc.poll_results("s", cur2)
+        assert got3 == [] and cur3 == 9
+        # a cursor older than the window resumes at the window start
+        got4, _ = svc.poll_results("s", 0)
+        assert [r["index"] for r in got4] == [5, 6, 7, 8]
+    finally:
+        svc.stop()
