@@ -91,10 +91,22 @@ def predict_game(predictor, game: str, domain: Domain, prediction_dir: Path,
 def predict_games(model_path: Path, games: Sequence[str], domain: Domain,
                   prediction_dir: Path, engine: str = "chunked", tta: bool = False,
                   use_saved: bool = False, resolution: str = "720p",
-                  video_info_fn=None) -> None:
+                  video_info_fn=None, data_parallel: int = 1) -> None:
+    """``data_parallel > 1`` spreads the chunked engine's per-chunk program
+    over a (data_parallel, 1) device mesh (``ChunkedVideoPredictor(mesh=)``,
+    bit-equal to single-chip)."""
     predictor: Optional[object] = None
     if not use_saved:
-        predictor = make_predictor(model_path, engine=engine, tta=tta)
+        kwargs = {}
+        if data_parallel > 1:
+            if engine != "chunked":
+                raise ValueError(
+                    "data_parallel>1 requires the chunked engine")
+            from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+            kwargs["mesh"] = make_mesh(data_parallel, 1)
+        predictor = make_predictor(model_path, engine=engine, tta=tta,
+                                   **kwargs)
     for game in games:
         print("Predict game:", game)
         predict_game(

@@ -25,6 +25,9 @@ def parse_arguments():
     parser.add_argument("--use_saved_predictions", action="store_true")
     parser.add_argument("--engine", default="chunked",
                         choices=["chunked", "streaming"])
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard the chunked engine over N chips "
+                             "(jax.sharding mesh; bit-equal to 1 chip)")
     return parser.parse_args()
 
 
@@ -40,7 +43,7 @@ def main():
     predict_games(
         model_path, games, domain, prediction_dir,
         engine=args.engine, tta=TTA, use_saved=args.use_saved_predictions,
-        resolution=RESOLUTION,
+        resolution=RESOLUTION, data_parallel=args.data_parallel,
     )
 
 

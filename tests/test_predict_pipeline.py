@@ -78,3 +78,24 @@ def test_predict_games_use_saved_re_postprocess(env):
     predict_games(None, [GAME], domain, pred_dir, use_saved=True,
                   video_info_fn=fake_info)
     assert spotting.read_text() == first
+
+
+def test_predict_games_data_parallel_matches_single(env):
+    """--data_parallel: the mesh-sharded chunked engine writes identical raw
+    predictions to the single-device run."""
+    domain, ckpt, fake_info, tmp_path = env
+    single_dir = tmp_path / "preds_single"
+    sharded_dir = tmp_path / "preds_dp8"
+    predict_games(ckpt, [GAME], domain, single_dir, engine="chunked",
+                  tta=False, video_info_fn=fake_info)
+    predict_games(ckpt, [GAME], domain, sharded_dir, engine="chunked",
+                  tta=False, video_info_fn=fake_info, data_parallel=8)
+    for half in (1, 2):
+        with np.load(single_dir / GAME / f"{half}_raw_predictions.npz") as a, \
+             np.load(sharded_dir / GAME / f"{half}_raw_predictions.npz") as b:
+            np.testing.assert_allclose(b["raw_predictions"],
+                                       a["raw_predictions"], atol=1e-5)
+
+    with pytest.raises(ValueError):
+        predict_games(ckpt, [GAME], domain, sharded_dir, engine="streaming",
+                      tta=False, video_info_fn=fake_info, data_parallel=8)
