@@ -20,6 +20,10 @@ METRIC = "tight"
 def parse_arguments():
     parser = argparse.ArgumentParser()
     parser.add_argument("--experiment", required=True, type=str)
+    parser.add_argument("--algorithm", default="official",
+                        choices=["official", "matcher"],
+                        help="official SoccerNet average_mAP (default) or "
+                             "the one-to-one matcher path")
     parser.add_argument("--split", default="val",
                         choices=["train", "val", "test", "challenge"])
     return parser.parse_args()
@@ -31,7 +35,8 @@ def main():
     prediction_dir = domain.predictions_dir / args.experiment / args.split
     games = action.load_games_list(args.split)
     results = evaluate_games(
-        domain.soccernet_dir, prediction_dir, games, domain, metric=METRIC
+        domain.soccernet_dir, prediction_dir, games, domain, metric=METRIC,
+        algorithm=args.algorithm,
     )
     out_path = prediction_dir / "evaluate_results.json"
     out_path.write_text(json.dumps(results, indent=4))
