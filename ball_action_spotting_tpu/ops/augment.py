@@ -156,17 +156,27 @@ def _conv2d_batch(x, rhs):
     return out.reshape(b, t, h, w)
 
 
-def _motion_blur_kernel(rng, k: int, max_angle: float, direction: float):
-    """Line kernel of length k at a random angle; ``direction`` skews the
-    weights toward one end (kornia RandomMotionBlur semantics)."""
-    angle = jax.random.uniform(rng, (), minval=-max_angle, maxval=max_angle)
+def _motion_blur_kernel(rng, k: int, max_angle: float, max_direction: float):
+    """Line kernel of length k at a random angle; the weight skew
+    ``direction`` is sampled uniformly in (-max_direction, max_direction)
+    per draw — kornia's ``RandomMotionBlur(direction=1.0)`` treats the
+    scalar as a symmetric sampling range, not a fixed value
+    (reference ball_action/augmentations.py:16)."""
+    k_angle, k_dir = jax.random.split(rng)
+    angle = jax.random.uniform(k_angle, (), minval=-max_angle, maxval=max_angle)
+    direction = jax.random.uniform(
+        k_dir, (), minval=-max_direction, maxval=max_direction
+    )
     theta = jnp.deg2rad(angle)
     c = (k - 1) / 2.0
     ts = jnp.arange(k, dtype=jnp.float32) - c
     xs = c + ts * jnp.cos(theta)
     ys = c + ts * jnp.sin(theta)
-    # bilinear splat of the line into a k×k kernel
-    weights = jnp.linspace((1 - direction) / 2, (1 + direction) / 2, k)
+    # bilinear splat of the line into a k×k kernel; weights run linearly
+    # from (1-d)/2 to (1+d)/2 along the line (traced d → no jnp.linspace)
+    weights = (1.0 - direction) / 2.0 + (
+        jnp.arange(k, dtype=jnp.float32) / (k - 1)
+    ) * direction
     kernel = jnp.zeros((k, k))
     x0, y0 = jnp.floor(xs).astype(int), jnp.floor(ys).astype(int)
     fx, fy = xs - x0, ys - y0
@@ -176,6 +186,20 @@ def _motion_blur_kernel(rng, k: int, max_angle: float, direction: float):
             jnp.clip(y0 + dy, 0, k - 1), jnp.clip(x0 + dx, 0, k - 1)
         ].add(weights * wgt)
     return kernel / jnp.sum(kernel)
+
+
+def _sample_crop_ratio(rng, w: float, h: float, jitter: float):
+    """Sampled crop aspect relative to the frame ratio r=w/h: kornia's
+    RandomResizedCrop draws ratio LOG-uniformly over the absolute band
+    (r-jitter, r+jitter) (reference ball_action/augmentations.py:9,13;
+    torchvision RandomResizedCrop.get_params). Returns ratio_sampled / r
+    so callers can use it as a multiplicative aspect on the frame."""
+    r_img = w / h
+    log_lo = float(np.log(max(r_img - jitter, 1e-6)))
+    log_hi = float(np.log(r_img + jitter))
+    return jnp.exp(
+        jax.random.uniform(rng, (), minval=log_lo, maxval=log_hi)
+    ) / r_img
 
 
 def _posterize(clip, bits: int):
@@ -230,12 +254,18 @@ def _augment_clip(rng: jax.Array, clip: jax.Array, cfg: AugmentConfig):
     rot_mat = _rotation_scale_about(jnp.asarray(cx), jnp.asarray(cy), rot_angle,
                                     jnp.asarray(1.0), jnp.asarray(1.0))
 
-    # -- resized crop (area scale + aspect jitter + random position)
+    # -- resized crop (area scale + aspect jitter + random position).
+    # kornia's RandomResizedCrop gets ratio=(r-0.1, r+0.1) around the full
+    # frame ratio r=w/h and samples it LOG-uniformly in that absolute band
+    # (reference ball_action/augmentations.py:9,13; torchvision semantics);
+    # ``aspect`` below is the sampled ratio relative to r, so cw/ch =
+    # r·aspect. Out-of-bounds crops clamp to the frame (kornia rejection-
+    # resamples up to 10×, a drift only at the band edge where area≈1).
     crop_apply = jax.random.bernoulli(next(k), float(cfg.crop_p))
     area = jax.random.uniform(next(k), (), minval=cfg.crop_scale[0],
                               maxval=cfg.crop_scale[1])
-    aspect = 1.0 + jax.random.uniform(next(k), (), minval=-cfg.crop_ratio_jitter,
-                                      maxval=cfg.crop_ratio_jitter)
+    aspect = _sample_crop_ratio(next(k), float(w), float(h),
+                                cfg.crop_ratio_jitter)
     cw = jnp.minimum(w * jnp.sqrt(area * aspect), float(w))
     ch = jnp.minimum(h * jnp.sqrt(area / aspect), float(h))
     cw = jnp.where(crop_apply, cw, float(w))

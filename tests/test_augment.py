@@ -10,6 +10,7 @@ from ball_action_spotting_tpu.ops.augment import (
     _hflip_matrix,
     _motion_blur_kernel,
     _posterize,
+    _sample_crop_ratio,
     bilinear_warp,
     make_augment_fn,
 )
@@ -45,6 +46,44 @@ def test_motion_blur_kernel_normalized():
     assert kern.shape == (11, 11)
     np.testing.assert_allclose(float(kern.sum()), 1.0, atol=1e-6)
     assert float(kern.min()) >= 0.0
+
+
+def test_motion_blur_direction_sampled_uniform():
+    """kornia RandomMotionBlur(direction=1.0) SAMPLES direction ~ U(-1, 1)
+    per draw. With angle pinned to 0 the kernel is a horizontal line with
+    weights linear in the drawn d, whose center of mass is exactly 5 + 2d
+    for k=11 — so COM over draws must be U(3, 7): mean 5, std 2/sqrt(3)."""
+    n = 2000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    kerns = jax.vmap(lambda r: _motion_blur_kernel(r, 11, 0.0, 1.0))(keys)
+    xs = jnp.arange(11, dtype=jnp.float32)
+    com = np.asarray(jnp.sum(kerns * xs[None, None, :], axis=(1, 2)))
+    assert abs(com.mean() - 5.0) < 0.1
+    assert abs(com.std() - 2.0 / np.sqrt(3.0)) < 0.08
+    assert com.min() >= 3.0 - 1e-4 and com.max() <= 7.0 + 1e-4
+    # a fixed direction (the old bug) would make COM constant
+    assert com.std() > 0.5
+
+
+def test_crop_ratio_log_uniform_absolute_band():
+    """kornia RandomResizedCrop(ratio=(r-0.1, r+0.1)) samples the crop ratio
+    log-uniformly over the ABSOLUTE band around the frame ratio r=w/h
+    (reference ball_action/augmentations.py:9,13), i.e. ~±5.8% relative at
+    r=1.739 — not the ±10% relative of a naive 1±jitter."""
+    w, h, jitter = 1280.0, 736.0, 0.1
+    r = w / h
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    rel = jax.vmap(lambda k: _sample_crop_ratio(k, w, h, jitter))(keys)
+    ratio = np.asarray(rel) * r
+    assert ratio.min() >= r - jitter - 1e-4
+    assert ratio.max() <= r + jitter + 1e-4
+    logs = np.log(ratio)
+    lo, hi = np.log(r - jitter), np.log(r + jitter)
+    assert abs(logs.mean() - (lo + hi) / 2) < 0.005
+    assert abs(logs.std() - (hi - lo) / np.sqrt(12.0)) < 0.005
+    # relative jitter must be ~±5.8%, NOT ±10%
+    assert np.abs(ratio / r - 1.0).max() < 0.062
 
 
 def test_posterize_levels():
