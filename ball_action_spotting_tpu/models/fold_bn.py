@@ -38,13 +38,32 @@ _BN_TO_CONV: dict[str, tuple[str, ...]] = {
 
 
 def default_eps_rule(path: tuple[str, ...]) -> float:
-    """The model family's BN epsilons: TF-ported encoder BNs use 1e-3,
-    torch-default projection/3D-block BNs use 1e-5 (see
-    ``models/effnetv2.py`` / ``models/multidim_stacker.py`` constructors).
-    The encoder scope is ``conv2d_encoder`` in MultiDimStacker/
-    MultiChanStacker and ``encoder`` in Classifier2d — both are the same
-    TF-ported EfficientNetV2 (bn_eps default 1e-3)."""
-    return 1e-3 if ("conv2d_encoder" in path or "encoder" in path) else 1e-5
+    """The model family's BN epsilons, read from the model classes' OWN
+    defaults (single source of truth, not literals that could drift from
+    the modules — ADVICE r2): the TF-ported encoder
+    (``EfficientNetV2Features.bn_eps``, scope ``conv2d_encoder`` in
+    MultiDimStacker/MultiChanStacker, ``encoder`` in Classifier2d), the 3D
+    blocks (``InvertedResidual3d.bn_eps``), and the projection norms
+    (``multidim_stacker.PROJECTION_BN_EPS``). Unknown BN scopes raise
+    rather than folding with a silently-wrong epsilon. Models built with a
+    non-default bn_eps need a custom ``eps_rule`` (the serving path cannot
+    construct one: ``MultiDimStacker`` exposes no bn_eps knob)."""
+    from ball_action_spotting_tpu.models.blocks3d import InvertedResidual3d
+    from ball_action_spotting_tpu.models.effnetv2 import EfficientNetV2Features
+    from ball_action_spotting_tpu.models.multidim_stacker import (
+        PROJECTION_BN_EPS,
+    )
+
+    if path[-1] in ("conv2d_projection_bn", "conv3d_projection_bn"):
+        return float(PROJECTION_BN_EPS)
+    if any(p.startswith("conv3d_encoder") for p in path):
+        return float(InvertedResidual3d.bn_eps)
+    if "conv2d_encoder" in path or "encoder" in path:
+        return float(EfficientNetV2Features.bn_eps)
+    raise ValueError(
+        f"fold_bn: no epsilon known for BN scope {'/'.join(path)}; "
+        "pass an explicit eps_rule"
+    )
 
 
 def _is_bn_scope(v) -> bool:

@@ -52,6 +52,12 @@ def get_act(name: str) -> Callable:
     return _ACTS[name]
 
 
+# Projection norms use torch BatchNorm2d/3d defaults, unlike the TF-ported
+# encoder (reference multidim_stacker.py:164,178-185). Single source of
+# truth: models/fold_bn.py folds with this same constant.
+PROJECTION_BN_EPS = 1e-5
+
+
 class MultiDimStacker(nn.Module):
     """See module docstring. Constructor args mirror the reference's
     (``multidim_stacker.py:138-153``) so configs transfer verbatim."""
@@ -107,10 +113,8 @@ class MultiDimStacker(nn.Module):
             self.num_3d_features, (1, 1), use_bias=False,
             name="conv2d_projection_conv", dtype=self.dtype,
         )
-        # Projection norms use torch BatchNorm2d defaults (eps 1e-5), unlike
-        # the TF-ported encoder (reference multidim_stacker.py:164,178-185).
         self.conv2d_projection_bn = BatchNormAct(
-            act, 1e-5, axis_name=self.axis_name, dtype=self.dtype,
+            act, PROJECTION_BN_EPS, axis_name=self.axis_name, dtype=self.dtype,
             folded=self.bn_folded, name="conv2d_projection_bn",
         )
         self.conv3d_encoder = [
@@ -133,7 +137,7 @@ class MultiDimStacker(nn.Module):
             name="conv3d_projection_conv", dtype=self.dtype,
         )
         self.conv3d_projection_bn = BatchNormAct(
-            act, 1e-5, axis_name=self.axis_name, dtype=self.dtype,
+            act, PROJECTION_BN_EPS, axis_name=self.axis_name, dtype=self.dtype,
             folded=self.bn_folded, name="conv3d_projection_bn",
         )
         self.global_pool = GeneralizedMeanPooling(3.0, name="global_pool")

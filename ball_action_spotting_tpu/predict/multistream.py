@@ -17,7 +17,8 @@ work uniform.
 
 ``mesh=``: spread each tick's batched device calls over a
 ``jax.sharding.Mesh``'s ``"data"`` axis (weights replicated, batch dims
-sharded, buckets floored at the axis size) — one serving frontend driving
+sharded, buckets rounded to multiples of the axis size) — one serving
+frontend driving
 a whole slice. Bit-equal to the single-chip path (mesh-equality test).
 """
 
@@ -69,14 +70,23 @@ class MultiStreamPredictor(PredictorBase):
             # spread each tick's cross-stream batches over the mesh's
             # "data" axis: weights replicate, batch inputs are committed
             # with a batch-dim sharding (jit propagates it through the
-            # program). Buckets are floored at the axis size so every
-            # compiled shape divides.
+            # program). Buckets round up to multiples of the axis size so
+            # every compiled shape divides (see _bucket_shape).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self.variables = jax.device_put(self.variables,
                                             NamedSharding(mesh, P()))
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._min_bucket = mesh.shape["data"]
+
+    def _bucket_shape(self, n: int) -> int:
+        """Padded batch size for ``n`` rows: next power of two, floored at
+        the mesh data-axis size AND rounded up to a multiple of it — a
+        sharded batch dim must divide the axis, and for a non-power-of-two
+        axis (e.g. 6 devices) the power-of-two bucket alone does not
+        (n=7 → 8, not divisible by 6 → device_put would raise)."""
+        b = max(_bucket(n), self._min_bucket)
+        return -(-b // self._min_bucket) * self._min_bucket
 
     def reset_stream(self, stream_id) -> None:
         self._streams[stream_id] = _StreamState()
@@ -140,7 +150,7 @@ class MultiStreamPredictor(PredictorBase):
                 axis=0,
             )
             n = len(missing)
-            nb = max(_bucket(n), self._min_bucket)
+            nb = self._bucket_shape(n)
             if nb != n:  # pad with repeats to the bucket shape
                 batch = np.concatenate([batch, np.repeat(batch[-1:], nb - n, axis=0)])
             x = (jnp.asarray(batch) if self._batch_sharding is None
@@ -161,7 +171,7 @@ class MultiStreamPredictor(PredictorBase):
                 axis=0,
             )  # (M, tta, S, h, w, C)
             m, t = window_feats.shape[0], window_feats.shape[1]
-            mb = max(_bucket(m), self._min_bucket)
+            mb = self._bucket_shape(m)
             if mb != m:
                 window_feats = jnp.concatenate(
                     [window_feats, jnp.repeat(window_feats[-1:], mb - m, axis=0)]

@@ -47,12 +47,17 @@ class SpottingService:
     over ``MultiStreamPredictor``."""
 
     def __init__(self, predictor, max_batch: int = 16,
-                 tick_timeout_s: float = 0.005, result_capacity: int = 4096):
+                 tick_timeout_s: float = 0.005, result_capacity: int = 4096,
+                 ingest_capacity: int = 1024):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.tick_timeout_s = float(tick_timeout_s)
         self.result_capacity = int(result_capacity)
-        self._ingest: "queue.Queue[tuple]" = queue.Queue()
+        # bounded: each queued item pins a full frame buffer; clients that
+        # outrun the device get 503s (backpressure) instead of growing host
+        # memory without limit
+        self._ingest: "queue.Queue[tuple]" = queue.Queue(
+            maxsize=int(ingest_capacity))
         self._results: dict[str, list[tuple[int, list[float]]]] = {}
         # absolute sequence number of each stream's first buffered result:
         # poll cursors are ABSOLUTE, so trimming old results never starves
@@ -67,10 +72,16 @@ class SpottingService:
 
     # -- ingest/poll API (called from HTTP handler threads) -------------------
 
-    def submit_frame(self, stream_id: str, frame: np.ndarray, index: int) -> None:
-        self._ingest.put((stream_id, frame, index))
+    def submit_frame(self, stream_id: str, frame: np.ndarray, index: int) -> bool:
+        """Enqueue for the batcher; False when the ingest queue is full
+        (caller should surface backpressure, e.g. HTTP 503)."""
+        try:
+            self._ingest.put_nowait((stream_id, frame, index))
+        except queue.Full:
+            return False
         with self._results_lock:  # handler threads race on +=
             self._stats["frames_in"] += 1
+        return True
 
     def poll_results(self, stream_id: str, since: int) -> tuple[list, int]:
         """``since`` is the absolute cursor returned as ``next`` by the
@@ -87,13 +98,14 @@ class SpottingService:
 
     def close_stream(self, stream_id: str) -> None:
         self.predictor_close(stream_id)
-        with self._results_lock:
-            self._results.pop(stream_id, None)
-            self._results_base.pop(stream_id, None)
 
     def predictor_close(self, stream_id: str) -> None:
-        # route through the batcher queue so predictor state is only touched
-        # from the batcher thread
+        # route through the batcher queue so BOTH predictor state and the
+        # result buffers are torn down on the batcher thread, in queue
+        # order: purging results on the handler thread left frames already
+        # enqueued ahead of the marker to re-create ``_results[sid]`` (a
+        # zombie stream in /healthz counts). Blocking put: close markers
+        # are rare and must not be dropped under backpressure.
         self._ingest.put((stream_id, None, -1))
 
     def stats(self) -> dict:
@@ -128,28 +140,37 @@ class SpottingService:
                 continue
             batch = []
             for stream_id, frame, index in raw:
-                if frame is None:  # close marker
+                if frame is None:  # close marker — honor queue order:
+                    # flush frames enqueued ahead of it, THEN tear down
+                    self._predict_and_record(batch)
+                    batch = []
                     self.predictor.close_stream(stream_id)
+                    with self._results_lock:
+                        self._results.pop(stream_id, None)
+                        self._results_base.pop(stream_id, None)
                     continue
                 batch.append((stream_id, frame, index))
-            if not batch:
-                continue
-            try:
-                results = self.predictor.predict_batch(batch)
-            except Exception:
-                logger.exception("predict_batch failed; dropping %d frames",
-                                 len(batch))
-                continue
-            self._stats["ticks"] += 1
-            materialized = [
-                (sid, None if pred is None else np.asarray(pred), idx)
-                for sid, pred, idx in results
-            ]
-            with self._results_lock:
-                for sid, pred, idx in materialized:
-                    if pred is None:
-                        continue
-                    self._record_result(sid, idx, [float(p) for p in pred])
+            self._predict_and_record(batch)
+
+    def _predict_and_record(self, batch: list) -> None:
+        if not batch:
+            return
+        try:
+            results = self.predictor.predict_batch(batch)
+        except Exception:
+            logger.exception("predict_batch failed; dropping %d frames",
+                             len(batch))
+            return
+        self._stats["ticks"] += 1
+        materialized = [
+            (sid, None if pred is None else np.asarray(pred), idx)
+            for sid, pred, idx in results
+        ]
+        with self._results_lock:
+            for sid, pred, idx in materialized:
+                if pred is None:
+                    continue
+                self._record_result(sid, idx, [float(p) for p in pred])
 
     def _record_result(self, sid: str, idx: int, probs: list) -> None:
         """Append under ``_results_lock``; trims to ``result_capacity`` and
@@ -215,7 +236,9 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 body = self.rfile.read(length)
                 frame = np.frombuffer(body, np.uint8).reshape(height, width)
-                self.service.submit_frame(stream_id, frame, index)
+                if not self.service.submit_frame(stream_id, frame, index):
+                    return self._json(
+                        503, {"error": "ingest queue full, retry later"})
                 return self._json(202, {"accepted": True, "index": index})
             if parts[3] == "close":
                 self.service.close_stream(stream_id)

@@ -129,3 +129,17 @@ def test_multistream_mesh_sharded_matches_per_stream(ckpt_path):  # noqa: F811
     idx, raw = get_raw_predictions(single, src2, FRAME_COUNT)
     got = np.stack([preds[i] for i in idx])
     np.testing.assert_allclose(got, raw, atol=1e-5)
+
+
+def test_bucket_shape_divides_non_power_of_two_mesh_axis():
+    """ADVICE r2: with a 6-device data axis, n=7 must NOT bucket to 8
+    (device_put with P('data') on a non-divisible batch dim raises)."""
+    p = object.__new__(MultiStreamPredictor)
+    p._min_bucket = 6
+    assert p._bucket_shape(1) == 6
+    assert p._bucket_shape(7) == 12
+    assert p._bucket_shape(13) == 18
+    p._min_bucket = 4  # power-of-two axes keep the plain pow2 buckets
+    assert [p._bucket_shape(n) for n in (1, 3, 7, 9)] == [4, 4, 8, 16]
+    p._min_bucket = 1  # no mesh: unchanged
+    assert [p._bucket_shape(n) for n in (1, 3, 7)] == [1, 4, 8]

@@ -212,3 +212,71 @@ def test_result_cursor_survives_retention_trim():
         assert [r["index"] for r in got4] == [5, 6, 7, 8]
     finally:
         svc.stop()
+
+
+def test_ingest_backpressure_bounded_queue():
+    """ADVICE r2: the ingest queue is bounded; submit_frame returns False
+    (-> HTTP 503) instead of growing host memory without limit."""
+    import threading
+
+    from ball_action_spotting_tpu.predict.server import SpottingService
+
+    release = threading.Event()
+
+    class _SlowPredictor:
+        def close_stream(self, sid):
+            pass
+
+        def predict_batch(self, batch):
+            release.wait(timeout=10)
+            return [(sid, None, idx) for sid, _f, idx in batch]
+
+    svc = SpottingService(_SlowPredictor(), max_batch=1, ingest_capacity=2)
+    try:
+        ok = [svc.submit_frame("s", np.zeros((2, 2), np.uint8), i)
+              for i in range(10)]
+        # batcher holds at most one item in-flight + 2 queued -> the rest
+        # must be rejected, not buffered
+        assert sum(ok) <= 4
+        assert False in ok
+        release.set()
+    finally:
+        release.set()
+        svc.stop()
+
+
+def test_close_purges_results_on_batcher_thread():
+    """ADVICE r2: frames enqueued ahead of the close marker are predicted,
+    then the marker purges result buffers ON THE BATCHER THREAD — no zombie
+    stream entry survives in /healthz counts."""
+    import time
+
+    from ball_action_spotting_tpu.predict.server import SpottingService
+
+    class _P:
+        def __init__(self):
+            self.closed = []
+
+        def close_stream(self, sid):
+            self.closed.append(sid)
+
+        def predict_batch(self, batch):
+            return [(sid, np.asarray([0.5]), idx) for sid, _f, idx in batch]
+
+    p = _P()
+    svc = SpottingService(p)
+    try:
+        svc.submit_frame("z", np.zeros((2, 2), np.uint8), 0)
+        svc.submit_frame("z", np.zeros((2, 2), np.uint8), 1)
+        svc.close_stream("z")
+        deadline = time.time() + 10
+        while time.time() < deadline and (
+            "z" not in p.closed or svc.stats()["streams"] != 0
+        ):
+            time.sleep(0.01)
+        assert p.closed == ["z"]
+        stats = svc.stats()
+        assert stats["streams"] == 0  # no zombie re-created by earlier frames
+        assert stats["predictions_out"] == 2  # pre-close frames still served
+    finally:
+        svc.stop()
