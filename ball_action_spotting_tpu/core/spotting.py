@@ -97,11 +97,25 @@ def load_raw_predictions(path: Path) -> tuple[np.ndarray, np.ndarray]:
 def blend_raw_predictions(
     loaded: Sequence[tuple[np.ndarray, np.ndarray]],
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Arithmetic-mean ensemble of aligned raw-prediction arrays
-    (reference ``scripts/ball_action/ensemble.py:18-35``)."""
-    frame_indexes = loaded[0][0]
-    for fi, _ in loaded[1:]:
-        if not np.array_equal(fi, frame_indexes):
-            raise ValueError("Ensemble members have mismatched frame indexes")
-    blended = np.mean([rp for _, rp in loaded], axis=0)
-    return frame_indexes, blended
+    """Arithmetic-mean ensemble of raw-prediction arrays over the UNION of
+    member frame ranges (reference ``scripts/ball_action/ensemble.py:18-35``):
+    members are summed into a dense timeline and divided by the member
+    count, so frames a member does not cover contribute zeros — exactly the
+    reference's accumulation (lines 28-32). Members with different windows
+    (e.g. a 15-frame stage-3 and a 33-frame stage-4 model) therefore blend
+    over ``[min(all indexes), max(all indexes)]``.
+
+    Deviation note: the reference's tail (lines 33-34) reuses the loop
+    variable ``frame_indexes`` after the loop, slicing/asserting against the
+    LAST member's range — which crashes on mixed-range ensembles (its real
+    recipe only blends same-window members, where this is equivalent to the
+    union). We return the union range, which is identical for same-window
+    members and well-defined otherwise."""
+    all_indexes = np.concatenate([fi for fi, _ in loaded])
+    lo, hi = int(all_indexes.min()), int(all_indexes.max())
+    num_classes = loaded[0][1].shape[1]
+    dense = np.zeros((hi + 1, num_classes), dtype=np.float64)
+    for fi, rp in loaded:
+        dense[np.asarray(fi)] += rp
+    dense /= len(loaded)
+    return np.arange(lo, hi + 1), dense[lo:]

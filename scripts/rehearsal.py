@@ -1,0 +1,87 @@
+"""Full 4-stage recipe dress rehearsal through the REAL CLIs.
+
+Chains the workflow of the reference's README (reference README.md:41-117 +
+scripts/ball_action/ensemble.py:38-104) end to end, exercising every
+cross-stage contract at the ``sys.argv`` level:
+
+  1. stage-1 train over the CV folds
+  2. CV predict --folds all    -> the OOF raw-prediction npz layout that
+                                  stage 3 consumes (train/pipeline.py::
+                                  oof_predictions_path)
+  3. stage-1 evaluate          -> mAP@1 per fold
+  4. stage-3 train             -> OOF hard-negative sampling weights +
+                                  cross-stage pretrain resolution
+  5. stage-4 train             -> long-window frozen-encoder fine-tune,
+                                  same-fold init, shape-tolerant transfer
+  6. stage-3 + stage-4 CV predict
+  7. ensemble --experiments s3,s4 (cv)  -> blended spotting JSONs
+  8. evaluate the cv ensemble
+  9. stage-4 challenge predict + challenge ensemble
+
+On a real-data host run it with the actual recipe names (the defaults);
+``tests/test_rehearsal.py`` runs the same driver over a synthetic workdir
+with tiny configs.
+
+    python scripts/rehearsal.py                       # real recipe names
+    python scripts/rehearsal.py --stage1 tiny_s1 --stage3 tiny_s3 \
+        --stage4 tiny_s4 --stage_folds 0
+"""
+
+import argparse
+import subprocess
+import sys
+from pathlib import Path
+
+SCRIPTS = Path(__file__).resolve().parent / "ball_action"
+
+
+def run(script: str, *args: str) -> None:
+    cmd = [sys.executable, str(SCRIPTS / script), *args]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--stage1", default="sampling_weights_001")
+    parser.add_argument("--stage3", default="ball_tuning_001")
+    parser.add_argument("--stage4", default="ball_finetune_long_004")
+    parser.add_argument("--folds", default="all",
+                        help="folds for stage-1 train + OOF predict (stage 3 "
+                             "needs OOF npz for every train game, i.e. all)")
+    parser.add_argument("--stage_folds", default="all",
+                        help="folds to carry through stages 3/4 + ensemble")
+    parser.add_argument("--skip_challenge", action="store_true")
+    return parser.parse_args()
+
+
+def main():
+    a = parse_arguments()
+
+    # stage 1: train all folds, then out-of-fold predictions for every game
+    run("train.py", "--experiment", a.stage1, "--folds", a.folds)
+    run("predict.py", "--experiment", a.stage1, "--folds", a.folds)
+    run("evaluate.py", "--experiment", a.stage1, "--folds", a.folds)
+
+    # stage 3: OOF hard negatives from stage 1 + stage pretrain
+    run("train.py", "--experiment", a.stage3, "--folds", a.stage_folds)
+    # stage 4: long-window frozen-encoder fine-tune from stage 3, same fold
+    run("train.py", "--experiment", a.stage4, "--folds", a.stage_folds)
+
+    # CV predictions for both tuned stages, then the fold ensemble
+    run("predict.py", "--experiment", a.stage3, "--folds", a.stage_folds)
+    run("predict.py", "--experiment", a.stage4, "--folds", a.stage_folds)
+    ens = f"{a.stage3},{a.stage4}"
+    run("ensemble.py", "--experiments", ens, "--folds", a.stage_folds)
+    run("evaluate.py", "--experiment", ens, "--folds", a.stage_folds)
+
+    if not a.skip_challenge:
+        run("predict.py", "--experiment", a.stage4, "--challenge",
+            "--folds", a.stage_folds)
+        run("ensemble.py", "--experiments", a.stage4, "--challenge")
+
+    print("rehearsal complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()

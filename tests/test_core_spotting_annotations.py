@@ -124,6 +124,21 @@ def test_raw_predictions_roundtrip_and_blend(tmp_path):
     np.testing.assert_array_equal(l1[0], fi)
     np.testing.assert_array_equal(l1[1], rp1)
     bi, bp = blend_raw_predictions([l1, load_raw_predictions(tmp_path / "b.npz")])
+    np.testing.assert_array_equal(bi, fi)
     np.testing.assert_allclose(bp, (rp1 + rp2) / 2)
-    with pytest.raises(ValueError):
-        blend_raw_predictions([(fi, rp1), (fi + 1, rp2)])
+
+
+def test_blend_mixed_ranges_union_with_zero_fill():
+    """Mixed-window members (e.g. stage-3 15-frame vs stage-4 33-frame
+    models) blend over the UNION range; uncovered frames contribute zeros
+    and the divisor stays the member count (reference ensemble.py:28-32
+    accumulation semantics — see blend_raw_predictions deviation note)."""
+    fi1 = np.arange(10, 20)
+    fi2 = np.arange(12, 22)
+    rp1 = np.full((10, 2), 0.4, np.float32)
+    rp2 = np.full((10, 2), 0.8, np.float32)
+    bi, bp = blend_raw_predictions([(fi1, rp1), (fi2, rp2)])
+    np.testing.assert_array_equal(bi, np.arange(10, 22))
+    np.testing.assert_allclose(bp[0], [0.2, 0.2])    # only member 1 covers 10
+    np.testing.assert_allclose(bp[2], [0.6, 0.6])    # both cover 12
+    np.testing.assert_allclose(bp[-1], [0.4, 0.4])   # only member 2 covers 21
