@@ -217,6 +217,16 @@ class BatchNormAct(nn.Module):
         return x.astype(self.dtype)
 
 
+def _conv_cls(conv_int8: bool):
+    """nn.Conv, or the int8 drop-in (models/quantize.py) for the encoder's
+    bias-free convs — identical param tree, inference-only."""
+    if conv_int8:
+        from ball_action_spotting_tpu.models.quantize import QuantConv
+
+        return QuantConv
+    return nn.Conv
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
     """Stochastic depth on the batch axis (timm DropPath semantics)."""
     if deterministic or rate == 0.0:
@@ -266,11 +276,12 @@ class ConvBnAct(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
     bn_folded: bool = False
+    conv_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
-        x = nn.Conv(
+        x = _conv_cls(self.conv_int8)(
             self.channels, (self.kernel, self.kernel), strides=self.stride,
             padding="SAME", use_bias=False, name="conv", dtype=self.dtype,
         )(x)
@@ -293,18 +304,19 @@ class EdgeResidual(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
     bn_folded: bool = False
+    conv_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
-        x = nn.Conv(
+        x = _conv_cls(self.conv_int8)(
             mid, (self.kernel, self.kernel), strides=self.stride,
             padding="SAME", use_bias=False, name="conv_exp", dtype=self.dtype,
         )(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
-        x = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
+        x = _conv_cls(self.conv_int8)(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
         x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
         if self.stride == 1 and in_ch == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
@@ -325,15 +337,16 @@ class InvertedResidual2d(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
     bn_folded: bool = False
+    conv_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
-        x = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
+        x = _conv_cls(self.conv_int8)(mid, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
-        x = nn.Conv(
+        x = _conv_cls(self.conv_int8)(
             mid, (self.kernel, self.kernel), strides=self.stride, padding="SAME",
             feature_group_count=mid, use_bias=False, name="conv_dw", dtype=self.dtype,
         )(x)
@@ -341,7 +354,7 @@ class InvertedResidual2d(nn.Module):
         if self.se_ratio > 0:
             rd = max(1, int(in_ch * self.se_ratio))
             x = SqueezeExcite2d(rd, self.act, dtype=self.dtype, name="se")(x)
-        x = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
+        x = _conv_cls(self.conv_int8)(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
         x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn3")(x, train)
         if self.stride == 1 and in_ch == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
@@ -372,6 +385,10 @@ class EfficientNetV2Features(nn.Module):
     # (torch_import handles it for pretrained checkpoints).
     stem_space_to_depth: bool = False
     bn_folded: bool = False
+    # int8 blocks (models/quantize.py): dynamic-quantized encoder convs at
+    # inference; the stem stays bf16 (Cin=3 — quantization overhead without
+    # MXU fill to gain)
+    conv_int8: bool = False
 
     @staticmethod
     def feature_channels(model_name: str, out_index: int) -> int:
@@ -425,7 +442,8 @@ class EfficientNetV2Features(nn.Module):
                     channels=stage.channels, kernel=stage.kernel, stride=stride,
                     act=self.act, bn_eps=self.bn_eps, axis_name=self.axis_name,
                     drop_path_rate=dpr, dtype=self.dtype,
-                    bn_folded=self.bn_folded, name=name,
+                    bn_folded=self.bn_folded, conv_int8=self.conv_int8,
+                    name=name,
                 )
                 if stage.kind == "cn":
                     x = ConvBnAct(**common)(x, train)

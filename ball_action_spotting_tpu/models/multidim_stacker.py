@@ -83,6 +83,8 @@ class MultiDimStacker(nn.Module):
     # at inference (ops/pallas_dwconv3d.py; XLA's lowering measured faster
     # on v5e — see ROADMAP "tried and rejected")
     dw3d_use_pallas: bool = False
+    # int8 dynamic-quantized encoder convs at inference (models/quantize.py)
+    conv2d_int8: bool = False
 
     @property
     def num_stacks(self) -> int:
@@ -108,6 +110,7 @@ class MultiDimStacker(nn.Module):
             dtype=self.dtype,
             stem_space_to_depth=self.stem_space_to_depth,
             bn_folded=self.bn_folded,
+            conv_int8=self.conv2d_int8,
         )
         self.conv2d_projection_conv = nn.Conv(
             self.num_3d_features, (1, 1), use_bias=False,

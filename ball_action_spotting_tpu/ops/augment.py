@@ -61,6 +61,14 @@ class AugmentConfig:
     # MXU's native rate (error ≤ ~4e-3, under the pipeline's inherent 1/255
     # uint8 quantization); "highest" for exact f32 interpolation
     warp_precision: str = "bfloat16"
+    # storage/compute dtype for the whole pipeline ("bfloat16"/"float32").
+    # None follows warp_precision. bf16 halves the HBM traffic of the
+    # photometric convs/elementwise passes (the augment is bandwidth-bound;
+    # ~32 → ~21 ms device-true on v5e at the flagship shape) with error
+    # under the 1/255 uint8 quantization; reductions (contrast mean) and
+    # posterize quantization still run f32, and parameter sampling is
+    # dtype-independent. The model casts to bf16 right after anyway.
+    compute_dtype: Optional[str] = None
 
 
 # --- affine matrix helpers (3x3, forward transforms on (x, y, 1)) -----------
@@ -204,10 +212,14 @@ def _sample_crop_ratio(rng, w: float, h: float, jitter: float):
 
 def _posterize(clip, bits: int):
     """Keep the top ``bits`` bits of the 8-bit intensity (torch/kornia
-    posterize semantics: mask off the low bits, not round to levels)."""
+    posterize semantics: mask off the low bits, not round to levels).
+    The ×255 quantization runs in f32 regardless of the clip dtype — bf16's
+    ~8-bit mantissa would land values on the wrong side of bit boundaries."""
     shift = 8 - bits
-    quantized = (clip * 255.0).astype(jnp.int32) >> shift << shift
-    return quantized.astype(clip.dtype) / 255.0
+    quantized = (
+        clip.astype(jnp.float32) * 255.0
+    ).astype(jnp.int32) >> shift << shift
+    return (quantized.astype(jnp.float32) / 255.0).astype(clip.dtype)
 
 
 # --- the per-clip augmentation -----------------------------------------------
@@ -343,20 +355,25 @@ def _apply_photometrics(x: jax.Array, p: dict, cfg: AugmentConfig) -> jax.Array:
     (sharpness → blur → brightness → contrast → posterize → noise), with
     both convs folded over the whole batch."""
     b, t, h, w = x.shape
+    dt = x.dtype
     # sharpness: unsharp-mask blend (kornia RandomSharpness 3×3 smoothing)
     rhs = jnp.tile(_SHARP_KERNEL[:, :, None, None], (1, 1, 1, b * t))
-    blurred = _conv2d_batch(x, rhs)
-    x = jnp.clip(_lerp(x, blurred, -p["sharp"][:, None, None, None]), 0.0, 1.0)
+    blurred = _conv2d_batch(x, rhs.astype(dt))
+    sharp = p["sharp"].astype(dt)[:, None, None, None]
+    x = jnp.clip(_lerp(x, blurred, -sharp), 0.0, 1.0)
 
     # motion blur: per-clip kernels → per-lane depthwise kernels
     rhs = p["blur_kernel"].transpose(1, 2, 0)  # (k, k, B)
     rhs = jnp.repeat(rhs, t, axis=-1)[:, :, None, :]  # (k, k, 1, B*T)
-    x = _conv2d_batch(x, rhs)
+    x = _conv2d_batch(x, rhs.astype(dt))
 
-    x = jnp.clip(x * p["bright"][:, None, None, None], 0.0, 1.0)
+    x = jnp.clip(x * p["bright"].astype(dt)[:, None, None, None], 0.0, 1.0)
 
-    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    x = jnp.clip(mean + (x - mean) * p["contrast"][:, None, None, None],
+    # contrast mean accumulates in f32 even under bf16 compute (a mean over
+    # T·H·W elements would lose ~3 decimal digits in bf16)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True,
+                    dtype=jnp.float32).astype(dt)
+    x = jnp.clip(mean + (x - mean) * p["contrast"].astype(dt)[:, None, None, None],
                  0.0, 1.0)
 
     x = jnp.where(p["post"][:, None, None, None],
@@ -370,15 +387,19 @@ def make_augment_fn(cfg: Optional[AugmentConfig] = None):
     for the geometric/sampling stage, batch-level photometric ops,
     jit-safe (call inside the train step)."""
     cfg = cfg or AugmentConfig()
+    dtype_name = cfg.compute_dtype or (
+        "bfloat16" if cfg.warp_precision == "bfloat16" else "float32")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     def augment(rng: jax.Array, x: jax.Array) -> jax.Array:
         keys = jax.random.split(rng, x.shape[0] + 1)
+        x = x.astype(dtype)
         x, params = jax.vmap(
             lambda r, c: _augment_clip(r, c, cfg))(keys[:-1], x)
         # one batch-level draw (threefry is HBM-bandwidth-bound on TPU:
         # 0.7 ms device-true for the flagship shape — not worth a kernel);
         # gated per clip by the vmapped bernoulli
-        noise = jax.random.normal(keys[-1], x.shape) * cfg.noise_std
+        noise = jax.random.normal(keys[-1], x.shape, dtype) * cfg.noise_std
         params["noise"] = noise * params.pop("noise_apply").astype(
             noise.dtype)[:, None, None, None]
         return _apply_photometrics(x, params, cfg)

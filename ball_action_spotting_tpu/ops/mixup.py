@@ -69,7 +69,11 @@ class Mixup:
         lam = jnp.where(jax.random.bernoulli(k_apply, self.prob), lam, 1.0)
 
         flipped = jnp.flip(x, axis=0)
-        mixed = x * lam + flipped * (1.0 - lam)
+        # mix in the image's own dtype (a f32 lam would promote a bf16
+        # augmented batch back to f32, doubling the HBM traffic downstream);
+        # the target mix below stays f32
+        lam_x = lam.astype(x.dtype)
+        mixed = x * lam_x + flipped * (1.0 - lam_x)
 
         if self.cutmix_alpha > 0.0:
             h, w = x.shape[-2], x.shape[-1]

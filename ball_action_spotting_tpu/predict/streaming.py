@@ -59,6 +59,7 @@ class PredictorBase:
         dtype=jnp.bfloat16,
         fold_bn: bool = True,
         s2d_stem: bool = False,
+        conv_int8: bool = False,
     ):
         variables, params = resolve_pretrain_variables(Path(checkpoint_path), use_ema)
         if fold_bn:
@@ -85,7 +86,8 @@ class PredictorBase:
         nn_name, nn_kwargs = params["nn_module"]
         assert nn_name == "multidim_stacker", nn_name
         self.model = build_model(nn_name, dtype=dtype, bn_folded=fold_bn,
-                                 stem_space_to_depth=s2d_stem, **nn_kwargs)
+                                 stem_space_to_depth=s2d_stem,
+                                 conv2d_int8=conv_int8, **nn_kwargs)
         self.variables = variables
         self.tta = tta
         self.num_tta = 2 if tta else 1

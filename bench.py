@@ -13,12 +13,20 @@ Baseline: the driver target of 10× realtime per chip = 250 fps
 (BASELINE.json); the reference's RTX 3090 streaming predictor runs near
 realtime (reference README.md:133-139).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+primary metric is TTA-off inference fps; the same line carries an "extra"
+dict with TTA-ON fps (the reference ball pipeline's default,
+reference scripts/ball_action/predict.py:16) and the training-step
+samples/s, so one BENCH artifact captures all three numbers (VERDICT r2
+Weak #2). Extras are skipped (with a note) if the time budget
+(``BENCH_BUDGET`` seconds, default 2100) runs out — remote compiles can be
+slow at busy times.
 
-``BENCH_METRIC=train`` switches to training throughput (samples/sec for the
-full jitted step at the recipe's batch 4 with on-device augmentation;
-baseline: the reference's RTX 3090 Ti epoch time, README.md:133-134 →
-~14 samples/s for 6000 samples in ~7 min).
+``BENCH_METRIC=train`` → training throughput only (recipe batch 4, full
+jitted step with on-device augmentation; baseline ~14 samples/s = the
+reference's 3090 Ti 7-minute epochs, README.md:133-134).
+``BENCH_METRIC=serve`` → multi-stream serving capacity: max concurrent
+25-fps streams per chip at realtime + per-tick latency (see bench_serve).
 """
 
 import json
@@ -26,6 +34,51 @@ import os
 import tempfile
 import time
 from pathlib import Path
+
+_T0 = time.perf_counter()
+_BUDGET = float(os.environ.get("BENCH_BUDGET", 2100))
+
+
+def _budget_left() -> float:
+    return _BUDGET - (time.perf_counter() - _T0)
+
+
+def _flagship_params(width: int, height: int) -> dict:
+    return {
+        "nn_module": (
+            "multidim_stacker",
+            dict(
+                model_name="tf_efficientnetv2_b0.in1k",
+                num_classes=2, num_frames=15, stack_size=3, index_2d_features=4,
+                num_3d_blocks=4, num_3d_features=192, expansion_3d_ratio=3,
+                se_reduce_3d_ratio=24, num_3d_stack_proj=256,
+                drop_rate=0.2, drop_path_rate=0.2, act_layer="silu",
+            ),
+        ),
+        "frame_stack_size": 15,
+        "frame_stack_step": 2,
+        "frames_processor": ("pad_normalize", {"size": (width, height)}),
+    }
+
+
+def _write_ckpt(tmp: str, width: int, height: int) -> Path:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ball_action_spotting_tpu.train.checkpoint import save_checkpoint
+    from __graft_entry__ import _flagship
+
+    model = _flagship(jnp.bfloat16)
+    x0 = jnp.zeros((1, 15, 64, 96), jnp.float32)
+    # jit the init: eager per-op dispatch is pathological on remote TPU
+    variables = jax.jit(
+        lambda rng: model.init({"params": rng}, x0, train=False)
+    )(jax.random.PRNGKey(0))
+    ckpt = Path(tmp) / "model-000-0.000000.ckpt"
+    save_checkpoint(ckpt, _flagship_params(width, height),
+                    jax.tree.map(np.asarray, variables))
+    return ckpt
 
 
 def bench_train() -> dict:
@@ -83,53 +136,11 @@ def bench_train() -> dict:
     }
 
 
-def main() -> None:
-    if os.environ.get("BENCH_METRIC") == "train":
-        print(json.dumps(bench_train()))
-        return
+def _time_chunks(predictor, chunk_size: int, num_chunks: int,
+                 height: int, width: int) -> float:
+    """fps of the chunk program with pre-staged device inputs."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
-
-    from ball_action_spotting_tpu.predict.streaming import ChunkedVideoPredictor
-    from ball_action_spotting_tpu.train.checkpoint import save_checkpoint
-    from __graft_entry__ import _flagship
-
-    on_tpu = jax.default_backend() == "tpu"
-    height, width = (736, 1280) if on_tpu else (64, 96)
-    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
-    num_chunks = int(os.environ.get("BENCH_CHUNKS", 12 if on_tpu else 2))
-
-    model = _flagship(jnp.bfloat16)
-    x0 = jnp.zeros((1, 15, 64, 96), jnp.float32)
-    # jit the init: eager per-op dispatch is pathological on remote TPU
-    variables = jax.jit(
-        lambda rng: model.init({"params": rng}, x0, train=False)
-    )(jax.random.PRNGKey(0))
-
-    params = {
-        "nn_module": (
-            "multidim_stacker",
-            dict(
-                model_name="tf_efficientnetv2_b0.in1k",
-                num_classes=2, num_frames=15, stack_size=3, index_2d_features=4,
-                num_3d_blocks=4, num_3d_features=192, expansion_3d_ratio=3,
-                se_reduce_3d_ratio=24, num_3d_stack_proj=256,
-                drop_rate=0.2, drop_path_rate=0.2, act_layer="silu",
-            ),
-        ),
-        "frame_stack_size": 15,
-        "frame_stack_step": 2,
-        "frames_processor": ("pad_normalize", {"size": (width, height)}),
-    }
-
-    with tempfile.TemporaryDirectory() as tmp:
-        ckpt = Path(tmp) / "model-000-0.000000.ckpt"
-        save_checkpoint(ckpt, params, jax.tree.map(np.asarray, variables))
-        predictor = ChunkedVideoPredictor(
-            ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size,
-            s2d_stem=os.environ.get("BENCH_S2D", "0") == "1",
-        )
 
     rng = np.random.default_rng(0)
     new_frames = jax.device_put(
@@ -138,11 +149,9 @@ def main() -> None:
     carry = jax.device_put(
         rng.integers(0, 255, (predictor.overlap, height, width), dtype=np.uint8)
     )
-
     # Warmup/compile. carry is donated, so rethread it each call.
     preds, carry = predictor._chunk_fn(predictor.variables, new_frames, carry)
     np.asarray(preds)  # real sync (block_until_ready is unreliable on axon)
-
     t0 = time.perf_counter()
     outs = []
     for _ in range(num_chunks):
@@ -150,9 +159,47 @@ def main() -> None:
         outs.append(preds)
     for p in outs:
         np.asarray(p)
-    dt = time.perf_counter() - t0
+    return num_chunks * chunk_size / (time.perf_counter() - t0)
 
-    fps = num_chunks * chunk_size / dt
+
+def bench_infer() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ball_action_spotting_tpu.predict.streaming import ChunkedVideoPredictor
+
+    on_tpu = jax.default_backend() == "tpu"
+    height, width = (736, 1280) if on_tpu else (64, 96)
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 12 if on_tpu else 2))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = _write_ckpt(tmp, width, height)
+        predictor = ChunkedVideoPredictor(
+            ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size,
+            s2d_stem=os.environ.get("BENCH_S2D", "0") == "1",
+        )
+        fps = _time_chunks(predictor, chunk_size, num_chunks, height, width)
+        extra = {}
+        if os.environ.get("BENCH_FAST", "0") != "1":
+            if _budget_left() > 500:
+                predictor_tta = ChunkedVideoPredictor(
+                    ckpt, tta=True, dtype=jnp.bfloat16, chunk_size=chunk_size)
+                extra["tta_on_fps"] = round(_time_chunks(
+                    predictor_tta, chunk_size, max(num_chunks // 2, 1),
+                    height, width), 2)
+            else:
+                extra["tta_on_fps"] = "skipped (budget)"
+
+    if os.environ.get("BENCH_FAST", "0") != "1":
+        if _budget_left() > 700:
+            try:
+                extra["train_samples_per_sec"] = bench_train()["value"]
+            except Exception as e:  # pragma: no cover - report, don't fail
+                extra["train_samples_per_sec"] = f"failed: {e!r}"
+        else:
+            extra["train_samples_per_sec"] = "skipped (budget)"
+
     baseline_fps = 250.0  # 10× realtime at 25 FPS per chip (BASELINE.json)
     result = {
         "metric": "full_match_inference_fps_per_chip",
@@ -160,7 +207,202 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 4),
     }
-    print(json.dumps(result))
+    if extra:
+        result["extra"] = extra
+    return result
+
+
+def bench_int8() -> dict:
+    """Int8 encoder convs through the FULL chunk program (VERDICT r2 Next
+    #2): fps for bf16 vs int8 on identical inputs + the output delta.
+    Timing the whole program sidesteps the XLA-linearity microbenchmark trap
+    documented in ROADMAP (isolated int8-conv scans measure nothing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ball_action_spotting_tpu.predict.streaming import ChunkedVideoPredictor
+
+    on_tpu = jax.default_backend() == "tpu"
+    height, width = (736, 1280) if on_tpu else (64, 96)
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 12 if on_tpu else 2))
+
+    rng = np.random.default_rng(0)
+    new_frames = jax.device_put(
+        rng.integers(0, 255, (chunk_size, height, width), dtype=np.uint8))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = _write_ckpt(tmp, width, height)
+        outs = {}
+        fps = {}
+        for name, flag in (("bf16", False), ("int8", True)):
+            predictor = ChunkedVideoPredictor(
+                ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size,
+                conv_int8=flag)
+            carry = jax.device_put(
+                rng.integers(0, 255, (predictor.overlap, height, width),
+                             dtype=np.uint8))
+            fps[name] = round(_time_chunks(
+                predictor, chunk_size, num_chunks, height, width), 2)
+            # same fixed input for the delta check
+            carry = jax.device_put(np.zeros(
+                (predictor.overlap, height, width), np.uint8))
+            preds, _ = predictor._chunk_fn(predictor.variables, new_frames,
+                                           carry)
+            outs[name] = np.asarray(preds, np.float64)
+
+    delta = np.abs(outs["int8"] - outs["bf16"])
+    return {
+        "metric": "int8_chunk_inference_fps_per_chip",
+        "value": fps["int8"],
+        "unit": "frames/sec",
+        "vs_baseline": round(fps["int8"] / 250.0, 4),
+        "extra": {
+            "bf16_fps": fps["bf16"],
+            "speedup_vs_bf16": round(fps["int8"] / fps["bf16"], 3),
+            "sigmoid_output_delta_mean": round(float(delta.mean()), 5),
+            "sigmoid_output_delta_max": round(float(delta.max()), 5),
+        },
+    }
+
+
+def bench_serve() -> dict:
+    """Multi-stream serving capacity (VERDICT r2 Next #4): K live 25-fps
+    streams through ``MultiStreamPredictor``; a tick feeds one new frame per
+    stream. Reports the largest K sustaining realtime (device-true mean tick
+    <= 40 ms) and per-tick latency percentiles at that K.
+
+    Tunnel correction: on this dev harness every dispatched program costs
+    ~27-30 ms of HOST wall time (CLAUDE.md; a production PCIe host pays
+    ~0.1 ms). A tick dispatches 2 programs, so raw tick walls would measure
+    the tunnel, not the chip. The dispatch floor is measured with two
+    trivial programs per tick (the zeros-control discipline from
+    scripts/perf_probe.py) and subtracted; BOTH raw and corrected numbers
+    are reported.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+
+    on_tpu = jax.default_backend() == "tpu"
+    height, width = (736, 1280) if on_tpu else (64, 96)
+    tta = os.environ.get("BENCH_TTA", "1" if on_tpu else "0") == "1"
+    ticks = int(os.environ.get("BENCH_TICKS", 48 if on_tpu else 8))
+    sweep = [int(k) for k in os.environ.get(
+        "BENCH_STREAMS", "8,16,24,32" if on_tpu else "2,4").split(",")]
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (height, width), dtype=np.uint8)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = _write_ckpt(tmp, width, height)
+        predictor = MultiStreamPredictor(ckpt, tta=tta, dtype=jnp.bfloat16)
+
+        def run_ticks(k: int, n: int, warm: int) -> tuple[float, list]:
+            """mean ms/tick (unsync dispatch, end sync) + synced per-tick ms."""
+            for sid in range(k):
+                predictor.reset_stream(sid)
+            # staggered admission: stream s starts at frame offset s%span so
+            # per-tick device work is uniform (multistream docstring)
+            idx = {sid: sid % predictor.frame_stack_step for sid in range(k)}
+            outs = []
+
+            def tick():
+                items = [(sid, frame, idx[sid]) for sid in range(k)]
+                for sid in idx:
+                    idx[sid] += 1
+                return predictor.predict_batch(items)
+
+            for _ in range(warm):  # compile all bucket shapes + fill windows
+                outs = tick()
+            for _, p, _ in outs:
+                if p is not None:
+                    np.asarray(p)
+            t0 = time.perf_counter()
+            res = [tick() for _ in range(n)]
+            for batch in res:
+                for _, p, _ in batch:
+                    if p is not None:
+                        np.asarray(p)
+            mean_ms = (time.perf_counter() - t0) / n * 1e3
+            # synced per-tick latency (includes tunnel dispatch floor)
+            lat = []
+            for _ in range(min(n, 24)):
+                t1 = time.perf_counter()
+                for _, p, _ in tick():
+                    if p is not None:
+                        np.asarray(p)
+                lat.append((time.perf_counter() - t1) * 1e3)
+            for sid in range(k):
+                predictor.close_stream(sid)
+            return mean_ms, lat
+
+        # dispatch floor: two trivial programs per tick, same timing pattern
+        import jax.numpy as jnp_
+
+        f1 = jax.jit(lambda c: jnp_.zeros((8,)) + c)
+        f2 = jax.jit(lambda c: jnp_.ones((8,)) * c)
+        np.asarray(f1(jnp_.float32(0))); np.asarray(f2(jnp_.float32(0)))
+        t0 = time.perf_counter()
+        ctrl = [f2(f1(jnp_.float32(i))[0]) for i in range(ticks)]
+        for c in ctrl:
+            np.asarray(c)
+        floor_ms = (time.perf_counter() - t0) / ticks * 1e3
+
+        warm = predictor.frame_stack_size * predictor.frame_stack_step + 8
+        best = None
+        results = {}
+        for k in sweep:
+            if _budget_left() < 180:
+                results[str(k)] = "skipped (budget)"
+                continue
+            mean_ms, lat = run_ticks(k, ticks, warm)
+            dev_ms = max(mean_ms - floor_ms, 0.0)
+            results[str(k)] = {"raw": round(mean_ms, 2),
+                               "device_true": round(dev_ms, 2)}
+            if dev_ms <= 40.0:
+                best = (k, mean_ms, dev_ms, lat)
+
+    if best is None:
+        k, mean_ms, dev_ms, lat = 0, float("nan"), float("nan"), [float("nan")]
+    else:
+        k, mean_ms, dev_ms, lat = best
+    lat_sorted = sorted(lat)
+    p50 = lat_sorted[len(lat_sorted) // 2]
+    p99 = lat_sorted[min(len(lat_sorted) - 1, int(len(lat_sorted) * 0.99))]
+    return {
+        "metric": "serve_streams_per_chip_at_realtime",
+        "value": k,
+        "unit": f"25fps streams (tta={'on' if tta else 'off'})",
+        "vs_baseline": float(k),  # reference serves ~1 stream/GPU (realtime)
+        "extra": {
+            "ms_per_tick_at_value_device_true": round(dev_ms, 2),
+            "ms_per_tick_at_value_raw": round(mean_ms, 2),
+            "dispatch_floor_ms_per_tick": round(floor_ms, 2),
+            "tick_p50_ms_synced": round(p50, 2),
+            "tick_p99_ms_synced": round(p99, 2),
+            "ms_per_tick_by_streams": results,
+            "note": "raw walls include the dev tunnel's ~27-30 ms/program "
+                    "dispatch overhead (2 programs/tick); device_true "
+                    "subtracts the measured floor — the production-host "
+                    "number. p50/p99 are raw synced walls.",
+        },
+    }
+
+
+def main() -> None:
+    metric = os.environ.get("BENCH_METRIC", "infer")
+    if metric == "train":
+        print(json.dumps(bench_train()))
+    elif metric == "serve":
+        print(json.dumps(bench_serve()))
+    elif metric == "int8":
+        print(json.dumps(bench_int8()))
+    else:
+        print(json.dumps(bench_infer()))
 
 
 if __name__ == "__main__":

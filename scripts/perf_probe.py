@@ -184,7 +184,12 @@ def main():
                     return jnp.sum(out.astype(jnp.float32) ** 2)
 
                 l, g = jax.value_and_grad(loss)(v["params"])
-                return l + jnp.sum(jax.tree.leaves(g)[0].astype(jnp.float32))
+                # consume EVERY grad leaf: summing only leaves(g)[0] lets
+                # XLA DCE most of the backward (the round-2 probes did this
+                # and under-measured fwd+bwd by ~50 ms across stages —
+                # the source of r2 ROADMAP's "unattributed" gap)
+                return l + sum(jnp.sum(le.astype(jnp.float32))
+                               for le in jax.tree.leaves(g))
 
             stage(f"enc[:{oi}] fwd+bwd", gfn, vs, x)
 
