@@ -66,6 +66,13 @@ class MultiStreamPredictor(PredictorBase):
         self._predict_offset = self.indexes_generator.make_stack_indexes(0)[-1]
         self._min_bucket = 1
         self._batch_sharding = None
+        # per-bucket jitted helpers: a tick must cost a CONSTANT number of
+        # dispatched programs (~6), not O(streams) — eager per-row slicing
+        # and per-stream stacking cost one dispatch EACH, which dominates
+        # host-side at high stream counts (and is pathological through a
+        # dev tunnel at ~30 ms/dispatch)
+        self._splitters: dict[int, object] = {}
+        self._fwd3d_rows_fns: dict[int, object] = {}
         if mesh is not None:
             # spread each tick's cross-stream batches over the mesh's
             # "data" axis: weights replicate, batch inputs are committed
@@ -87,6 +94,36 @@ class MultiStreamPredictor(PredictorBase):
         (n=7 → 8, not divisible by 6 → device_put would raise)."""
         b = max(_bucket(n), self._min_bucket)
         return -(-b // self._min_bucket) * self._min_bucket
+
+    def _split_rows(self, array: jax.Array, n: int) -> tuple:
+        """First ``n`` rows of ``array`` as separate device arrays in ONE
+        dispatched program (eager ``array[j]`` per row is a program each)."""
+        fn = self._splitters.get(n)
+        if fn is None:
+            fn = jax.jit(lambda a: tuple(a[i] for i in range(n)))
+            self._splitters[n] = fn
+        return fn(array)
+
+    def _fwd3d_rows(self, stacked: jax.Array, mb: int) -> jax.Array:
+        """3D+head over window rows stacked as (mb*S, tta, h, w, C) → TTA-
+        averaged (mb, classes), all in one program (the former eager
+        transpose/reshape/mean chain was 4+ programs)."""
+        s = self.num_stacks
+        t = self.num_tta
+        fn = self._fwd3d_rows_fns.get(mb)
+        if fn is None:
+            raw = self._fwd3d_head_raw
+
+            def rows_fn(variables, rows):
+                w = rows.reshape((mb, s, t) + rows.shape[2:])
+                w = jnp.moveaxis(w, 2, 1)  # (mb, tta, S, h, w, C)
+                flat = w.reshape((mb * t,) + w.shape[2:])
+                preds = raw(variables, flat)
+                return preds.reshape(mb, t, -1).mean(axis=1)
+
+            fn = jax.jit(rows_fn)
+            self._fwd3d_rows_fns[mb] = fn
+        return fn(self.variables, stacked)
 
     def reset_stream(self, stream_id) -> None:
         self._streams[stream_id] = _StreamState()
@@ -156,33 +193,34 @@ class MultiStreamPredictor(PredictorBase):
             x = (jnp.asarray(batch) if self._batch_sharding is None
                  else jax.device_put(batch, self._batch_sharding))
             feats = self._fwd2d(self.variables, x)
+            rows = self._split_rows(feats, n)  # one program, n device rows
             for j, (state, stack, _) in enumerate(missing):
-                state.features[stack] = feats[j]  # (tta, h, w, C)
+                state.features[stack] = rows[j]  # (tta, h, w, C)
 
-        # 3) one 3D+head call for every complete window
+        # 3) one 3D+head call for every complete window: gather every ready
+        # window's cached stack rows into ONE stack op (padding is pure
+        # Python list repetition — no device work), then one fused
+        # reshape+forward+TTA-mean program, then one row split
         ready = [p for p in plans if p[3]]
         results: dict[int, jax.Array] = {}
         if ready:
-            window_feats = jnp.stack(
-                [
-                    jnp.stack([state.features[s] for s in stacks], axis=1)
-                    for _, state, _, stacks, _ in ready
-                ],
-                axis=0,
-            )  # (M, tta, S, h, w, C)
-            m, t = window_feats.shape[0], window_feats.shape[1]
+            rows_list = [
+                state.features[s]
+                for _, state, _, stacks, _ in ready
+                for s in stacks
+            ]
+            m = len(ready)
             mb = self._bucket_shape(m)
             if mb != m:
-                window_feats = jnp.concatenate(
-                    [window_feats, jnp.repeat(window_feats[-1:], mb - m, axis=0)]
-                )
-            flat = window_feats.reshape((mb * t,) + window_feats.shape[2:])
+                s_per = len(ready[0][3])
+                rows_list.extend(rows_list[-s_per:] * (mb - m))
+            stacked = jnp.stack(rows_list, axis=0)  # (mb*S, tta, h, w, C)
             if self._batch_sharding is not None:
-                flat = jax.device_put(flat, self._batch_sharding)
-            preds = self._fwd3d_head(self.variables, flat)
-            preds = preds.reshape(mb, t, -1).mean(axis=1)
+                stacked = jax.device_put(stacked, self._batch_sharding)
+            preds = self._fwd3d_rows(stacked, mb)  # (mb, classes)
+            pred_rows = self._split_rows(preds, m)
             for j, plan in enumerate(ready):
-                results[id(plan)] = preds[j]
+                results[id(plan)] = pred_rows[j]
 
         out = []
         for plan in plans:

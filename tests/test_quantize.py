@@ -80,3 +80,31 @@ def test_int8_full_model_flag():
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+from tests.test_predictor import FRAME_COUNT, ckpt_path  # noqa: F401,E402
+
+
+def test_int8_through_chunked_predictor(ckpt_path):  # noqa: F811
+    """conv_int8=True through the full serving path (the fold-BN'd kernels
+    are what get quantized): outputs finite and near the f32-path outputs
+    on the tiny arch."""
+    from ball_action_spotting_tpu.predict.streaming import (
+        ChunkedVideoPredictor,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (FRAME_COUNT, 64, 96), dtype=np.uint8)
+
+    def run(flag):
+        p = ChunkedVideoPredictor(ckpt_path, tta=False, dtype=jnp.float32,
+                                  chunk_size=16, conv_int8=flag)
+        _idx, raw = p.predict_video(enumerate(frames), len(frames))
+        return np.asarray(raw)
+
+    base = run(False)
+    quant = run(True)
+    assert np.isfinite(quant).all()
+    assert base.shape == quant.shape
+    # sigmoid outputs: int8 drift stays small on the tiny arch
+    assert np.abs(base - quant).max() < 0.15, np.abs(base - quant).max()
