@@ -9,14 +9,17 @@ cross-stage contract at the ``sys.argv`` level:
                                   stage 3 consumes (train/pipeline.py::
                                   oof_predictions_path)
   3. stage-1 evaluate          -> mAP@1 per fold
-  4. stage-3 train             -> OOF hard-negative sampling weights +
-                                  cross-stage pretrain resolution
-  5. stage-4 train             -> long-window frozen-encoder fine-tune,
+  4. stage-2 ACTION train      -> the cross-domain pretrain the stage-3
+                                  config inits from (15-class encoder ->
+                                  2-class ball head, shape-tolerant)
+  5. stage-3 train             -> OOF hard-negative sampling weights +
+                                  cross-domain pretrain resolution
+  6. stage-4 train             -> long-window frozen-encoder fine-tune,
                                   same-fold init, shape-tolerant transfer
-  6. stage-3 + stage-4 CV predict
-  7. ensemble --experiments s3,s4 (cv)  -> blended spotting JSONs
-  8. evaluate the cv ensemble
-  9. stage-4 challenge predict + challenge ensemble
+  7. stage-3 + stage-4 CV predict
+  8. ensemble --experiments s3,s4 (cv)  -> blended spotting JSONs
+  9. evaluate the cv ensemble
+ 10. stage-4 challenge predict + challenge ensemble
 
 On a real-data host run it with the actual recipe names (the defaults);
 ``tests/test_rehearsal.py`` runs the same driver over a synthetic workdir
@@ -32,11 +35,11 @@ import subprocess
 import sys
 from pathlib import Path
 
-SCRIPTS = Path(__file__).resolve().parent / "ball_action"
+SCRIPTS = Path(__file__).resolve().parent
 
 
-def run(script: str, *args: str) -> None:
-    cmd = [sys.executable, str(SCRIPTS / script), *args]
+def run(script: str, *args: str, domain: str = "ball_action") -> None:
+    cmd = [sys.executable, str(SCRIPTS / domain / script), *args]
     print("+", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
 
@@ -44,6 +47,11 @@ def run(script: str, *args: str) -> None:
 def parse_arguments():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--stage1", default="sampling_weights_001")
+    parser.add_argument("--stage2", default="action_sampling_weights_002",
+                        help="action-domain pretrain experiment trained "
+                             "before stage 3 (the recipe's stage 2); "
+                             "empty string skips it (the stage-3 config "
+                             "must then name a ball pretrain instead)")
     parser.add_argument("--stage3", default="ball_tuning_001")
     parser.add_argument("--stage4", default="ball_finetune_long_004")
     parser.add_argument("--folds", default="all",
@@ -62,6 +70,11 @@ def main():
     run("train.py", "--experiment", a.stage1, "--folds", a.folds)
     run("predict.py", "--experiment", a.stage1, "--folds", a.folds)
     run("evaluate.py", "--experiment", a.stage1, "--folds", a.folds)
+
+    # stage 2: the action-domain pretrain the real stage-3 config inits
+    # from (reference README.md:66-77)
+    if a.stage2:
+        run("train.py", "--experiment", a.stage2, domain="action")
 
     # stage 3: OOF hard negatives from stage 1 + stage pretrain
     run("train.py", "--experiment", a.stage3, "--folds", a.stage_folds)

@@ -10,12 +10,11 @@ through ``scripts/rehearsal.py`` on a synthetic workdir —
   -> challenge ensemble.
 
 Every cross-stage contract is exercised at the sys.argv level: the OOF
-path layout (train/pipeline.py::oof_predictions_path), pretrain resolution
-(resolve_stage_pretrain), frozen-encoder masking, ensemble blending, and
-the challenge prediction tree. The real recipe's one difference is pinned
-by other tests: stage 3 pretrains from the ACTION experiment
-(test_cli_action_workflow covers that domain); here it pretrains from the
-same-fold ball stage-1 so the rehearsal stays single-domain.
+path layout (train/pipeline.py::oof_predictions_path), CROSS-DOMAIN
+pretrain resolution (a tiny 15-class action experiment trains first and
+stage 3 inits from its best checkpoint, like the real recipe — the
+2-class ball classifier is dropped by the shape-tolerant transfer),
+frozen-encoder masking, ensemble blending, and the challenge tree.
 """
 
 import json
@@ -35,7 +34,7 @@ H, W, FRAMES = 64, 96, 200
 
 _COMMON_NN = """
             "model_name": "efficientnetv2_tiny",
-            "num_classes": 2, "stack_size": 3,
+            "stack_size": 3,
             "index_2d_features": 4, "num_3d_blocks": 1,
             "num_3d_features": 16, "expansion_3d_ratio": 2,
             "se_reduce_3d_ratio": 4, "num_3d_stack_proj": 16,
@@ -43,8 +42,13 @@ _COMMON_NN = """
 """
 
 
-def _config(num_frames, stack_step, pred_experiment="",
-            pretrain_ball="", freeze=False, optimizer='("AdamW", {"lr": 3e-3})'):
+def _config(num_frames, stack_step, pred_experiment="", pretrain_action="",
+            pretrain_ball="", freeze=False, num_classes=2,
+            sampling=None,
+            optimizer='("AdamW", {"lr": 3e-3})'):
+    if sampling is None:
+        sampling = (f'pred_experiment="{pred_experiment}", '
+                    'clear_pred_window_size=5,')
     return f'''
 config = dict(
     image_size=(96, 64),
@@ -56,7 +60,7 @@ config = dict(
     train_epoch_size=16,
     train_sampling_weights=dict(
         action_window_size=5, action_prob=0.5,
-        pred_experiment="{pred_experiment}", clear_pred_window_size=5,
+        {sampling}
     ),
     metric_accuracy_threshold=0.5,
     num_decode_workers=2,
@@ -64,7 +68,7 @@ config = dict(
     stages=["warmup", "train"],
     argus_params={{
         "nn_module": ("multidim_stacker", {{{_COMMON_NN}
-            "num_frames": {num_frames},
+            "num_frames": {num_frames}, "num_classes": {num_classes},
         }}),
         "loss": ("focal_loss", {{"alpha": -1.0, "gamma": 1.2, "reduction": "mean"}}),
         "optimizer": {optimizer},
@@ -76,7 +80,7 @@ config = dict(
         "freeze_conv2d_encoder": {freeze},
     }},
     frame_index_shaker=None,
-    pretrain_action_experiment="",
+    pretrain_action_experiment="{pretrain_action}",
     pretrain_ball_experiment="{pretrain_ball}",
 )
 '''
@@ -88,13 +92,49 @@ def workdir(tmp_path_factory):
     cfg_dir = wd / "configs/ball_action"
     cfg_dir.mkdir(parents=True)
     (cfg_dir / "tiny_s1.py").write_text(_config(6, 2))
+    # stage 3 inits from the ACTION experiment's best checkpoint, like the
+    # real ball_tuning_001 (cross-domain transfer: 15-class head dropped)
     (cfg_dir / "tiny_s3.py").write_text(
-        _config(6, 2, pred_experiment="tiny_s1", pretrain_ball="tiny_s1"))
+        _config(6, 2, pred_experiment="tiny_s1", pretrain_action="tiny_a"))
     (cfg_dir / "tiny_s4.py").write_text(
         _config(9, 1, pred_experiment="tiny_s1", pretrain_ball="tiny_s3",
                 freeze=True,
                 optimizer='("SGD", {"lr": 1e-3, "momentum": 0.9, '
                           '"nesterov": True})'))
+
+    # the action-domain stage-2 experiment + its data/splits
+    action_cfg_dir = wd / "configs/action"
+    action_cfg_dir.mkdir(parents=True)
+    (action_cfg_dir / "tiny_a.py").write_text(_config(
+        6, 2, num_classes=15,
+        sampling='action_weights={"Goal": 0.5, "Card": 0.3, "Corner": 0.2},'))
+    splits = wd / "splits"
+    splits.mkdir()
+    action_games = ["league/a1", "league/a2"]
+    (splits / "train.json").write_text(json.dumps(action_games[:1]))
+    (splits / "val.json").write_text(json.dumps(action_games[1:]))
+    rng0 = np.random.default_rng(7)
+    for game in action_games:
+        game_dir = wd / "data/soccernet/action-spotting-2023" / game
+        game_dir.mkdir(parents=True)
+        annotations = []
+        for half in (1, 2):
+            video = game_dir / f"{half}_720p.mkv"
+            frames = [rng0.integers(0, 255, (H, W), dtype=np.uint8)
+                      for _ in range(FRAMES)]
+            write_gray_store(Path(str(video) + ".gray"), frames, H, W, FRAMES)
+            Path(str(video) + ".info.json").write_text(json.dumps(
+                dict(frame_count=FRAMES, fps=25.0, width=W, height=H)))
+            for sec, label in ((2, "Goal"), (4, "Yellow card"),
+                               (6, "Corner")):
+                annotations.append({
+                    "gameTime": f"{half} - 00:{sec:02d}",
+                    "label": label,
+                    "position": str(sec * 1000),
+                    "visibility": "visible",
+                })
+        (game_dir / "Labels-v2.json").write_text(
+            json.dumps({"annotations": annotations}))
 
     rng = np.random.default_rng(0)
     labeled = [(g, True) for g in ball.fold_games]
@@ -127,12 +167,14 @@ def test_four_stage_rehearsal(workdir):
     env = dict(os.environ)
     env.update(
         BAS_TPU_WORKDIR=str(workdir),
+        BAS_TPU_ACTION_SPLITS=str(workdir / "splits"),
         JAX_PLATFORM_NAME="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
     )
     proc = subprocess.run(
         [sys.executable, str(REPO / "scripts/rehearsal.py"),
-         "--stage1", "tiny_s1", "--stage3", "tiny_s3", "--stage4", "tiny_s4",
+         "--stage1", "tiny_s1", "--stage2", "tiny_a",
+         "--stage3", "tiny_s3", "--stage4", "tiny_s4",
          "--stage_folds", "0"],
         env=env, capture_output=True, text=True, timeout=3000, cwd=str(REPO),
     )
@@ -152,6 +194,9 @@ def test_four_stage_rehearsal(workdir):
                         f"{half}_raw_predictions.npz").exists()
         assert (preds / "tiny_s1/cv" / f"fold_{fold}" /
                 "evaluate_results.json").exists()
+
+    # stage 2: the action-domain pretrain experiment trained
+    assert list((workdir / "data/action/experiments/tiny_a").glob("*.ckpt"))
 
     # stages 3/4 trained fold 0 from the right inits
     assert list((exp / "tiny_s3/fold_0").glob("*.ckpt"))
