@@ -113,6 +113,16 @@ def blend_raw_predictions(
     members and well-defined otherwise."""
     all_indexes = np.concatenate([fi for fi, _ in loaded])
     lo, hi = int(all_indexes.min()), int(all_indexes.max())
+    unique = np.unique(all_indexes)
+    if len(unique) != hi - lo + 1:
+        # disjoint coverage = a stale/misaligned member, not a window-size
+        # difference (overlapping contiguous ranges always union to a
+        # contiguous range); silently zero-filling the gap would dilute
+        # every score — and the reference's assert would fail here too
+        raise ValueError(
+            "Ensemble members cover disjoint frame ranges "
+            f"({len(unique)} covered frames in span [{lo}, {hi}])"
+        )
     num_classes = loaded[0][1].shape[1]
     dense = np.zeros((hi + 1, num_classes), dtype=np.float64)
     for fi, rp in loaded:

@@ -183,7 +183,7 @@ def _motion_blur_kernel(rng, k: int, max_angle: float, max_direction: float):
     # bilinear splat of the line into a k×k kernel; weights run linearly
     # from (1-d)/2 to (1+d)/2 along the line (traced d → no jnp.linspace)
     weights = (1.0 - direction) / 2.0 + (
-        jnp.arange(k, dtype=jnp.float32) / (k - 1)
+        jnp.arange(k, dtype=jnp.float32) / max(k - 1, 1)
     ) * direction
     kernel = jnp.zeros((k, k))
     x0, y0 = jnp.floor(xs).astype(int), jnp.floor(ys).astype(int)

@@ -193,7 +193,11 @@ class MultiStreamPredictor(PredictorBase):
             x = (jnp.asarray(batch) if self._batch_sharding is None
                  else jax.device_put(batch, self._batch_sharding))
             feats = self._fwd2d(self.variables, x)
-            rows = self._split_rows(feats, n)  # one program, n device rows
+            # split at the BUCKET size (nb), not the raw count n: the
+            # splitter compiles one program per distinct size, and only
+            # bucket sizes are bounded — keying by n would reintroduce the
+            # unbounded compiled-shape set bucketing exists to prevent
+            rows = self._split_rows(feats, nb)
             for j, (state, stack, _) in enumerate(missing):
                 state.features[stack] = rows[j]  # (tta, h, w, C)
 
@@ -218,7 +222,7 @@ class MultiStreamPredictor(PredictorBase):
             if self._batch_sharding is not None:
                 stacked = jax.device_put(stacked, self._batch_sharding)
             preds = self._fwd3d_rows(stacked, mb)  # (mb, classes)
-            pred_rows = self._split_rows(preds, m)
+            pred_rows = self._split_rows(preds, mb)  # bucket-keyed program
             for j, plan in enumerate(ready):
                 results[id(plan)] = pred_rows[j]
 

@@ -104,9 +104,27 @@ class SpottingService:
         # result buffers are torn down on the batcher thread, in queue
         # order: purging results on the handler thread left frames already
         # enqueued ahead of the marker to re-create ``_results[sid]`` (a
-        # zombie stream in /healthz counts). Blocking put: close markers
-        # are rare and must not be dropped under backpressure.
-        self._ingest.put((stream_id, None, -1))
+        # zombie stream in /healthz counts). Close markers must not be
+        # dropped under backpressure, but a BLOCKING put could wedge the
+        # handler thread forever if the batcher is stopped/dead while the
+        # bounded queue is full — so when full, evict queued FRAMES (frames
+        # are droppable under backpressure by design) until the marker fits.
+        from collections import deque
+
+        pending = deque([(stream_id, None, -1)])
+        while pending:
+            marker = pending.popleft()
+            while True:
+                try:
+                    self._ingest.put_nowait(marker)
+                    break
+                except queue.Full:
+                    try:
+                        item = self._ingest.get_nowait()
+                    except queue.Empty:
+                        continue
+                    if item[1] is None:  # never drop a displaced close marker
+                        pending.append(item)
 
     def stats(self) -> dict:
         with self._results_lock:

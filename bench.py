@@ -189,7 +189,8 @@ def bench_infer() -> dict:
         if os.environ.get("BENCH_FULL", "0") == "1":
             if _budget_left() > 500:
                 predictor_tta = ChunkedVideoPredictor(
-                    ckpt, tta=True, dtype=jnp.bfloat16, chunk_size=chunk_size)
+                    ckpt, tta=True, dtype=jnp.bfloat16, chunk_size=chunk_size,
+                    s2d_stem=os.environ.get("BENCH_S2D", "0") == "1")
                 extra["tta_on_fps"] = round(_time_chunks(
                     predictor_tta, chunk_size, max(num_chunks // 2, 1),
                     height, width), 2)
@@ -245,9 +246,6 @@ def bench_int8() -> dict:
             predictor = ChunkedVideoPredictor(
                 ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size,
                 conv_int8=flag)
-            carry = jax.device_put(
-                rng.integers(0, 255, (predictor.overlap, height, width),
-                             dtype=np.uint8))
             fps[name] = round(_time_chunks(
                 predictor, chunk_size, num_chunks, height, width), 2)
             # same fixed input for the delta check

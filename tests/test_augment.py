@@ -127,3 +127,11 @@ def test_augment_under_jit():
     out = jitted(jax.random.PRNGKey(0), x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_motion_blur_kernel_size_one_is_finite():
+    """k=1 must not divide by zero (arange(1)/(1-1) was NaN): a single-tap
+    kernel is the identity regardless of the sampled direction."""
+    kern = np.asarray(_motion_blur_kernel(jax.random.PRNGKey(3), 1, 7.5, 1.0))
+    assert np.isfinite(kern).all()
+    np.testing.assert_allclose(kern, [[1.0]], atol=1e-6)

@@ -142,3 +142,13 @@ def test_blend_mixed_ranges_union_with_zero_fill():
     np.testing.assert_allclose(bp[0], [0.2, 0.2])    # only member 1 covers 10
     np.testing.assert_allclose(bp[2], [0.6, 0.6])    # both cover 12
     np.testing.assert_allclose(bp[-1], [0.4, 0.4])   # only member 2 covers 21
+
+
+def test_blend_disjoint_ranges_raises():
+    """Disjoint member coverage means a stale/misaligned npz, not a window
+    difference — zero-filling the gap would silently dilute every score."""
+    fi1 = np.arange(10, 20)
+    fi2 = np.arange(500, 510)
+    rp = np.ones((10, 2), np.float32)
+    with pytest.raises(ValueError, match="disjoint"):
+        blend_raw_predictions([(fi1, rp), (fi2, rp)])
