@@ -86,6 +86,7 @@ class InvertedResidual3d(nn.Module):
     dtype: Any = jnp.float32
     bn_folded: bool = False
     dw_use_pallas: bool = False
+    bn_norm_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -94,15 +95,18 @@ class InvertedResidual3d(nn.Module):
 
         x = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
-                         dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
+                         dtype=self.dtype, folded=self.bn_folded,
+                         norm_f32=self.bn_norm_f32, name="bn1")(x, train)
         x = DepthwiseConv3d(mid, dtype=self.dtype,
                             use_pallas=self.dw_use_pallas, name="conv_dw")(x, train)
         x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name,
-                         dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
+                         dtype=self.dtype, folded=self.bn_folded,
+                         norm_f32=self.bn_norm_f32, name="bn2")(x, train)
         x = SqueezeExcite3d(self.se_reduce_ratio, self.act, dtype=self.dtype, name="se")(x)
         x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
         x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name,
-                         dtype=self.dtype, folded=self.bn_folded, name="bn3")(x, train)
+                         dtype=self.dtype, folded=self.bn_folded,
+                         norm_f32=self.bn_norm_f32, name="bn3")(x, train)
         x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
 

@@ -186,6 +186,16 @@ class BatchNormAct(nn.Module):
     axis_name: str | None = None
     dtype: Any = jnp.float32
     folded: bool = False
+    # Exact torch-AMP placement: keep the BN OUTPUT (and the fused act) in
+    # f32, at the cost of materializing f32 activation maps between bf16
+    # convs (~15% slower train step, measured round 2). NOTE the normalize
+    # ARITHMETIC is f32 either way — flax subtracts the f32 mean and
+    # multiplies the f32 rsqrt before casting to ``dtype``
+    # (force_float32_reductions; pinned by
+    # tests/test_models.py::test_bn_normalize_math_is_f32_even_in_bf16_mode)
+    # — so the only numeric difference this flag makes is the activation's
+    # dtype and where the single bf16 rounding lands.
+    norm_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -199,18 +209,19 @@ class BatchNormAct(nn.Module):
             if self.act is not None:
                 x = self.act(x)
             return x.astype(self.dtype)
-        # Stats/running averages stay f32 regardless of ``dtype`` (flax
-        # promotes the reductions, ``force_float32_reductions``); the
-        # normalize itself runs in the compute dtype in BOTH modes — an f32
-        # normalize materializes f32 copies of every activation map between
-        # bf16 convs (measured ~20% of encoder inference time round 1, and
-        # ~15% of the train forward).
+        # Stats/running averages stay f32 regardless of ``dtype``, and so
+        # is the normalize arithmetic itself (flax promotes x against the
+        # f32 mean/rsqrt before the output cast). ``dtype`` only sets the
+        # OUTPUT dtype — keeping it bf16 avoids materializing f32 copies of
+        # every activation map between bf16 convs (measured ~20% of encoder
+        # inference time round 1, ~15% of the train forward). ``norm_f32``
+        # restores the torch-AMP output/act placement for A/B runs.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name if train else None,
-            dtype=self.dtype,
+            dtype=jnp.float32 if self.norm_f32 else self.dtype,
         )(x)
         if self.act is not None:
             x = self.act(x)
@@ -277,6 +288,7 @@ class ConvBnAct(nn.Module):
     dtype: Any = jnp.float32
     bn_folded: bool = False
     conv_int8: bool = False
+    bn_norm_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -285,7 +297,7 @@ class ConvBnAct(nn.Module):
             self.channels, (self.kernel, self.kernel), strides=self.stride,
             padding="SAME", use_bias=False, name="conv", dtype=self.dtype,
         )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn1")(x, train)
         if self.stride == 1 and shortcut.shape[-1] == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
@@ -305,6 +317,7 @@ class EdgeResidual(nn.Module):
     dtype: Any = jnp.float32
     bn_folded: bool = False
     conv_int8: bool = False
+    bn_norm_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -315,9 +328,9 @@ class EdgeResidual(nn.Module):
             mid, (self.kernel, self.kernel), strides=self.stride,
             padding="SAME", use_bias=False, name="conv_exp", dtype=self.dtype,
         )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn1")(x, train)
         x = _conv_cls(self.conv_int8)(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
-        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
+        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn2")(x, train)
         if self.stride == 1 and in_ch == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
@@ -338,6 +351,7 @@ class InvertedResidual2d(nn.Module):
     dtype: Any = jnp.float32
     bn_folded: bool = False
     conv_int8: bool = False
+    bn_norm_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -345,17 +359,17 @@ class InvertedResidual2d(nn.Module):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
         x = _conv_cls(self.conv_int8)(mid, (1, 1), use_bias=False, name="conv_pw", dtype=self.dtype)(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn1")(x, train)
         x = _conv_cls(self.conv_int8)(
             mid, (self.kernel, self.kernel), strides=self.stride, padding="SAME",
             feature_group_count=mid, use_bias=False, name="conv_dw", dtype=self.dtype,
         )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn2")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn2")(x, train)
         if self.se_ratio > 0:
             rd = max(1, int(in_ch * self.se_ratio))
             x = SqueezeExcite2d(rd, self.act, dtype=self.dtype, name="se")(x)
         x = _conv_cls(self.conv_int8)(self.channels, (1, 1), use_bias=False, name="conv_pwl", dtype=self.dtype)(x)
-        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn3")(x, train)
+        x = BatchNormAct(None, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn3")(x, train)
         if self.stride == 1 and in_ch == self.channels:
             x = DropPath(self.drop_path_rate)(x, deterministic=not train) + shortcut
         return x
@@ -389,6 +403,8 @@ class EfficientNetV2Features(nn.Module):
     # inference; the stem stays bf16 (Cin=3 — quantization overhead without
     # MXU fill to gain)
     conv_int8: bool = False
+    # torch-AMP BatchNorm parity: normalize in f32 (see BatchNormAct)
+    bn_norm_f32: bool = False
 
     @staticmethod
     def feature_channels(model_name: str, out_index: int) -> int:
@@ -428,7 +444,7 @@ class EfficientNetV2Features(nn.Module):
                 stem_ch, (3, 3), strides=2, padding="SAME", use_bias=False,
                 name="conv_stem", dtype=self.dtype,
             )(x)
-        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, name="bn1")(x, train)
+        x = BatchNormAct(self.act, self.bn_eps, axis_name=self.axis_name, dtype=self.dtype, folded=self.bn_folded, norm_f32=self.bn_norm_f32, name="bn1")(x, train)
 
         block_idx = 0
         for stage_idx, stage in enumerate(stages):
@@ -443,7 +459,7 @@ class EfficientNetV2Features(nn.Module):
                     act=self.act, bn_eps=self.bn_eps, axis_name=self.axis_name,
                     drop_path_rate=dpr, dtype=self.dtype,
                     bn_folded=self.bn_folded, conv_int8=self.conv_int8,
-                    name=name,
+                    bn_norm_f32=self.bn_norm_f32, name=name,
                 )
                 if stage.kind == "cn":
                     x = ConvBnAct(**common)(x, train)
