@@ -41,6 +41,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_frames_sharding(mesh: Mesh, ndim: int, h_axis: int) -> NamedSharding:
+    """Spatial partitioning ("sp"): shard the frame HEIGHT dim over the
+    model axis (batch still over the data axis). GSPMD partitions every
+    conv along the sharded spatial dim and inserts the halo exchanges over
+    ICI; global reductions (BN batch stats, GeM pooling) become cross-chip
+    psums automatically. This is the lever when the batch is too small to
+    fill the mesh — batch-1 latency-bound serving, or the reference's
+    batch-4 recipe on >4 chips — where data parallelism has nothing left
+    to split.
+
+    ``ndim``/``h_axis``: rank of the frames array and the height axis
+    position, e.g. (3, 1) for chunk frames (N, H, W), (4, 2) for train
+    clips (B, T, H, W).
+    """
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    spec[h_axis] = MODEL_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -217,14 +217,17 @@ class ChunkedVideoPredictor(PredictorBase):
     strided stack/window assembly over ICI. Weights are replicated. Bit-
     equal to the single-chip path (mesh-equality test on the 8-device CPU
     mesh); chunk_size should be a multiple of the axis size to avoid
-    padding waste.
+    padding waste. ``spatial=True`` additionally shards the frame HEIGHT
+    over the mesh's ``"model"`` axis (spatial partitioning — the lever
+    when chunk_size alone can't fill a large mesh); also bit-equal.
     """
 
     def __init__(self, *args, chunk_size: int = 128, batch_2d: int = 32,
-                 mesh=None, **kwargs):
+                 mesh=None, spatial: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.chunk_size = chunk_size
         self.mesh = mesh
+        self.spatial = spatial
         del batch_2d  # absorbed into the single chunk program
         self.stack_span = self.model_stack_size * self.frame_stack_step
         # overlap frames carried between chunks: stacks spanning the chunk
@@ -287,14 +290,30 @@ class ChunkedVideoPredictor(PredictorBase):
             repl = NamedSharding(mesh, P())
             shard0 = NamedSharding(mesh, P("data"))
             self.variables = jax.device_put(self.variables, repl)
-            self._frames_sharding = shard0
-            self._carry_sharding = repl
+            if spatial:
+                # spatial partitioning: frame HEIGHT over the model axis on
+                # top of chunk-frames over the data axis — GSPMD halo-
+                # exchanges the convs over ICI (parallel/mesh.py::
+                # spatial_frames_sharding). The carry tail shards on H too
+                # (it concatenates with the frames on axis 0, so matching
+                # H sharding avoids a reshard each chunk).
+                from ball_action_spotting_tpu.parallel.mesh import (
+                    spatial_frames_sharding,
+                )
+
+                frames_sh = spatial_frames_sharding(mesh, ndim=3, h_axis=1)
+                carry_sh = NamedSharding(mesh, P(None, "model"))
+            else:
+                frames_sh = shard0
+                carry_sh = repl
+            self._frames_sharding = frames_sh
+            self._carry_sharding = carry_sh
             # the small carry tail (overlap rarely divides the axis) and the
             # weights are replicated; the chunk frames and predictions shard
             self._chunk_fn = jax.jit(
                 chunk_fn, donate_argnums=2,
-                in_shardings=(repl, shard0, repl),
-                out_shardings=(shard0, repl),
+                in_shardings=(repl, frames_sh, carry_sh),
+                out_shardings=(shard0, carry_sh),
             )
 
     def predict_video(

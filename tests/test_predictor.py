@@ -165,6 +165,28 @@ def test_chunked_mesh_sharded_matches_single_device(ckpt_path):
     np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
 
 
+def test_chunked_spatial_partitioned_matches_single_device(ckpt_path):
+    """spatial=True: frame HEIGHT sharded over the model axis on a
+    (data=2, model=4) mesh — GSPMD halo-exchanges every conv along H and
+    psums the global reductions (BN, GeM); predictions must reproduce the
+    single-device chunk program. This is the batch-too-small-for-the-mesh
+    ("sp") leg of the parallel story."""
+    from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+    kwargs = dict(num_frames=FRAME_COUNT, height=64, width=96, seed=1,
+                  events={20: 0, 30: 1})
+    base = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=16)
+    b_idx, b_raw = base.predict_video(
+        iter_source_frames(SyntheticSource(**kwargs)), FRAME_COUNT)
+    sharded = ChunkedVideoPredictor(
+        ckpt_path, dtype=jnp.float32, chunk_size=16,
+        mesh=make_mesh(2, 4), spatial=True)
+    s_idx, s_raw = sharded.predict_video(
+        iter_source_frames(SyntheticSource(**kwargs)), FRAME_COUNT)
+    assert list(s_idx) == list(b_idx)
+    np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
+
+
 def test_short_video_returns_empty(ckpt_path):
     # video shorter than one 6-frame/step-2 window → no predictions, no hang
     chunked = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=8)
