@@ -225,7 +225,10 @@ class BatchNormAct(nn.Module):
         )(x)
         if self.act is not None:
             x = self.act(x)
-        return x.astype(self.dtype)
+        # norm_f32 keeps the f32 output all the way out of the module (the
+        # next conv casts its input, exactly where torch-AMP rounds);
+        # casting here would silently defeat the flag
+        return x if self.norm_f32 else x.astype(self.dtype)
 
 
 def _conv_cls(conv_int8: bool):

@@ -55,6 +55,7 @@ def spatial_frames_sharding(mesh: Mesh, ndim: int, h_axis: int) -> NamedSharding
     position, e.g. (3, 1) for chunk frames (N, H, W), (4, 2) for train
     clips (B, T, H, W).
     """
+    assert 0 < h_axis < ndim, (h_axis, ndim)  # axis 0 is the batch dim
     spec = [None] * ndim
     spec[0] = DATA_AXIS
     spec[h_axis] = MODEL_AXIS

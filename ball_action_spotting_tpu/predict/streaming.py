@@ -219,7 +219,9 @@ class ChunkedVideoPredictor(PredictorBase):
     mesh); chunk_size should be a multiple of the axis size to avoid
     padding waste. ``spatial=True`` additionally shards the frame HEIGHT
     over the mesh's ``"model"`` axis (spatial partitioning — the lever
-    when chunk_size alone can't fill a large mesh); also bit-equal.
+    when chunk_size alone can't fill a large mesh); numerically equal to
+    single-chip within 1e-5 (cross-chip psums reorder the f32 pooling
+    reductions, so exact bitwise equality is not guaranteed there).
     """
 
     def __init__(self, *args, chunk_size: int = 128, batch_2d: int = 32,
@@ -228,6 +230,10 @@ class ChunkedVideoPredictor(PredictorBase):
         self.chunk_size = chunk_size
         self.mesh = mesh
         self.spatial = spatial
+        if spatial and mesh is None:
+            raise ValueError(
+                "spatial=True requires mesh= (spatial partitioning shards "
+                "the frame height over the mesh's 'model' axis)")
         del batch_2d  # absorbed into the single chunk program
         self.stack_span = self.model_stack_size * self.frame_stack_step
         # overlap frames carried between chunks: stacks spanning the chunk
@@ -305,11 +311,12 @@ class ChunkedVideoPredictor(PredictorBase):
                 carry_sh = NamedSharding(mesh, P(None, "model"))
             else:
                 frames_sh = shard0
+                # the small carry tail (overlap rarely divides the data
+                # axis) is replicated here; chunk frames/predictions shard
                 carry_sh = repl
             self._frames_sharding = frames_sh
             self._carry_sharding = carry_sh
-            # the small carry tail (overlap rarely divides the axis) and the
-            # weights are replicated; the chunk frames and predictions shard
+            # weights are replicated in both modes
             self._chunk_fn = jax.jit(
                 chunk_fn, donate_argnums=2,
                 in_shardings=(repl, frames_sh, carry_sh),

@@ -187,17 +187,26 @@ class TestMultiDimStacker:
                               norm_f32=norm_f32)
             vars_ = bn.init(jax.random.PRNGKey(0), x, train=True)
             out = bn.apply(vars_, x, train=True, mutable=["batch_stats"])[0]
+            # norm_f32 must keep the f32 output all the way OUT of the
+            # module (a trailing cast would silently defeat the flag)
+            assert out.dtype == (jnp.float32 if norm_f32 else jnp.bfloat16)
             return np.asarray(out, np.float32)
 
-        np.testing.assert_array_equal(run(True, None), run(False, None))
+        # the bf16-mode output IS the f32 normalize rounded exactly once
+        np.testing.assert_array_equal(
+            run(False, None),
+            np.asarray(jnp.asarray(run(True, None), jnp.bfloat16), np.float32))
         # sanity: the f32 math really holds against a numpy oracle
         xf = np.asarray(x, np.float32)
         ref = (xf - xf.mean(axis=(0, 1, 2))) / np.sqrt(
             xf.var(axis=(0, 1, 2)) + 1e-3)
         err = np.abs(run(False, None) - ref).max()
         assert err < 2 ** -6, err  # one bf16 output cast of ~4σ values
-        # with an act, norm_f32 runs silu in f32 (torch-AMP placement) —
-        # a small but real difference
+        # f32 path vs the two-pass numpy oracle differs only by flax's
+        # use_fast_variance (E[x²]−E[x]² cancels ~8 bits at offset ~700) —
+        # well under the bf16 cast error, and identical in both modes
+        assert np.abs(run(True, None) - ref).max() < 2 ** -7
+        # with an act, norm_f32 also runs silu in f32 (torch-AMP placement)
         assert np.abs(run(True, jax.nn.silu)
                       - run(False, jax.nn.silu)).max() > 0
 
