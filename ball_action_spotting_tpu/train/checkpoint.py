@@ -94,7 +94,18 @@ def get_best_checkpoint_path(
                 scored.append((path, float(m.group(1))))
     if not scored:
         return (None, -np.inf) if return_score else None
-    scored.sort(key=lambda x: x[1], reverse=more_better)
+
+    def epoch_of(path: Path) -> int:
+        m = re.search(r"model-(\d+)-", path.name)
+        return int(m.group(1)) if m else -1
+
+    # primary: score (reference src/utils.py:46 sorts by score only — its
+    # tie order is glob-order-arbitrary); secondary: LATER epoch wins exact
+    # ties, a deterministic refinement that matters with max_saves > 1 and a
+    # saturating monitor metric (see CheckpointManager.tie_keep)
+    scored.sort(
+        key=lambda x: (-x[1] if more_better else x[1], -epoch_of(x[0]))
+    )
     best, score = scored[0]
     return (best, score) if return_score else best
 
@@ -103,16 +114,27 @@ class CheckpointManager:
     """Best-by-metric retention with ``max_saves``
     (reference EmaCheckpoint + argus Checkpoint max_saves semantics).
     ``backend`` selects the single-file native format (default) or Orbax
-    directories (``train/orbax_io.py``)."""
+    directories (``train/orbax_io.py``).
+
+    ``tie_keep``: which epoch survives when scores tie exactly. ``"first"``
+    (default) matches argus' stable-sort retention; ``"last"`` prefers the
+    most recent equal-best epoch — the right choice when the monitored
+    metric saturates early (e.g. window val-AP hits 1.0 at epoch 1 on easy
+    data) but later epochs are still sharpening confidences that spotting
+    postprocess depends on (measured: mAP@1 0.15 → 1.00 on the TPU quality
+    pin, scripts/tpu_quality_pin.py)."""
 
     def __init__(self, save_dir: Path, max_saves: int = 1, more_better: bool = True,
-                 backend: str = "native"):
+                 backend: str = "native", tie_keep: str = "first"):
         assert backend in ("native", "orbax"), backend
+        assert tie_keep in ("first", "last"), tie_keep
         self.save_dir = Path(save_dir)
         self.max_saves = max_saves
         self.more_better = more_better
         self.backend = backend
-        self._saved: list[tuple[float, Path]] = []
+        self.tie_keep = tie_keep
+        self._seq = 0
+        self._saved: list[tuple[float, int, Path]] = []
 
     def save(self, epoch: int, score: float, params_dict: dict,
              variables: dict, no_ema_variables: Optional[dict] = None) -> Path:
@@ -126,10 +148,18 @@ class CheckpointManager:
         else:
             path = self.save_dir / checkpoint_name(epoch, score)
             save_checkpoint(path, params_dict, variables, no_ema_variables)
-        self._saved.append((score, path))
-        self._saved.sort(key=lambda x: x[0], reverse=self.more_better)
+        self._saved.append((score, self._seq, path))
+        self._seq += 1
+        # rank: better score first; among exact ties, tie_keep decides which
+        # end of the history survives retention
+        self._saved.sort(
+            key=lambda x: (
+                -x[0] if self.more_better else x[0],
+                -x[1] if self.tie_keep == "last" else x[1],
+            )
+        )
         while len(self._saved) > self.max_saves:
-            _, old = self._saved.pop()
+            _, _, old = self._saved.pop()
             if old.is_dir():
                 import shutil
 

@@ -159,7 +159,14 @@ class Trainer:
         self.val_step = jax.jit(make_val_step(self.model, self.loss))
         self.predict_step = jax.jit(make_predict_step(self.model))
 
-        self.ckpt_manager = ckpt_lib.CheckpointManager(self.save_dir, max_saves=max_saves)
+        self.ckpt_manager = ckpt_lib.CheckpointManager(
+            self.save_dir,
+            max_saves=max_saves,
+            # "first" = argus stable-sort parity; "last" keeps the most
+            # recent equal-best epoch (for saturating monitor metrics —
+            # see CheckpointManager.tie_keep)
+            tie_keep=config.get("checkpoint_tie_keep", "first"),
+        )
         self.monitor = "val_average_precision"
         self.state: Optional[TrainState] = None
 

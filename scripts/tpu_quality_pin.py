@@ -12,6 +12,7 @@ On the TPU backend it asserts run-to-run equality and a quality floor at
 the observed level; record the numbers in ROADMAP.
 
     python scripts/tpu_quality_pin.py            # uses the default (axon) TPU
+    python scripts/tpu_quality_pin.py --from-final --epochs 18  # quality bar
     JAX_PLATFORMS=cpu python scripts/tpu_quality_pin.py --no-assert
 """
 
@@ -28,12 +29,17 @@ import numpy as np
 # 0.1538 BIT-IDENTICALLY (spread 0.0) — TPU training is run-deterministic,
 # unlike XLA-CPU (0.30-0.97 across identical runs, commit 56419af). The
 # floor pins the observed level: this tiny 7-epoch slice is a regression
-# tripwire for training-numerics changes, not a quality benchmark (the
-# deterministic TPU trajectory happens to land lower than most CPU ones).
+# tripwire for training-numerics changes, not a quality benchmark — the
+# best-by-val-AP checkpoint is the epoch-1 model because window val-AP
+# saturates instantly here (see run_slice). Spotting from the final EMA
+# state instead (--from-final --epochs 18) measured mAP@1 1.0000 on the
+# v5e, so that mode pins a real quality floor.
 QUALITY_FLOOR = 0.15
+FROM_FINAL_FLOOR = 0.95
 
 
-def run_slice(workdir: Path, seed: int = 0) -> float:
+def run_slice(workdir: Path, seed: int = 0, epochs: int = 6,
+              from_final: bool = False) -> float:
     """One train→predict→evaluate pass; returns spotting mAP@1."""
     import tests.test_models  # registers efficientnetv2_test  # noqa: F401
     from tests.test_train_engine import CLASSES, tiny_config
@@ -80,7 +86,7 @@ def run_slice(workdir: Path, seed: int = 0) -> float:
         videos_sampling_weights=weights, base_seed=5,
     )
     val_ds = ValClipDataset(videos, CLASSES, gen, tproc, image_size=(96, 64))
-    config = tiny_config(train_epoch_size=192, num_epochs=[1, 6])
+    config = tiny_config(train_epoch_size=192, num_epochs=[1, epochs])
     trainer = Trainer(config, CLASSES, workdir / "exp",
                       compute_dtype=jnp.float32, seed=seed)
     # num_workers=1 → samples collate in index order → deterministic input
@@ -88,7 +94,22 @@ def run_slice(workdir: Path, seed: int = 0) -> float:
                        ClipLoader(val_ds, 8, num_workers=1))
     print("best:", best, flush=True)
 
-    ckpt = get_best_checkpoint_path(workdir / "exp")
+    if from_final:
+        # On this easy synthetic slice the window val-AP saturates to 1.0 at
+        # epoch 1, so best-by-metric retention (stable sort — argus-parity
+        # tie behavior) keeps the UNDERTRAINED epoch-1 model whose peak
+        # confidences are still below the postprocess height threshold.
+        # For the quality demonstration, spot from the final EMA state.
+        from ball_action_spotting_tpu.train.checkpoint import CheckpointManager
+
+        final_dir = workdir / "final"
+        final_dir.mkdir(parents=True, exist_ok=True)
+        ckpt = CheckpointManager(final_dir).save(
+            epochs, 1.0, trainer._params_dict(),
+            trainer.state.model_variables(ema=True),
+            trainer.state.model_variables(ema=False))
+    else:
+        ckpt = get_best_checkpoint_path(workdir / "exp")
     predictor = ChunkedVideoPredictor(ckpt, tta=True, dtype=jnp.float32,
                                       chunk_size=64)
     video = videos[0]
@@ -115,6 +136,12 @@ def run_slice(workdir: Path, seed: int = 0) -> float:
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--runs", type=int, default=2)
+    parser.add_argument("--epochs", type=int, default=6,
+                        help="cosine-stage epochs (6 = the pinned config)")
+    parser.add_argument("--from-final", action="store_true",
+                        help="spot from the final EMA state instead of the "
+                             "best-by-val-AP checkpoint (val-AP saturates "
+                             "instantly on this synthetic slice)")
     parser.add_argument("--no-assert", action="store_true")
     args = parser.parse_args()
 
@@ -125,7 +152,8 @@ def main():
     scores = []
     for i in range(args.runs):
         with tempfile.TemporaryDirectory() as tmp:
-            scores.append(run_slice(Path(tmp), seed=0))
+            scores.append(run_slice(Path(tmp), seed=0, epochs=args.epochs,
+                                    from_final=args.from_final))
     print("scores:", [round(s, 4) for s in scores], flush=True)
 
     if args.no_assert or backend not in ("tpu",):
@@ -134,10 +162,11 @@ def main():
     assert spread < 1e-6, (
         f"TPU runs are NOT run-deterministic (spread {spread}); record this "
         "in ROADMAP and keep the CPU-style wiring check instead")
-    assert min(scores) >= QUALITY_FLOOR, (
-        f"quality regressed below the pinned floor: {scores} < {QUALITY_FLOOR}")
+    floor = FROM_FINAL_FLOOR if args.from_final else QUALITY_FLOOR
+    assert min(scores) >= floor, (
+        f"quality regressed below the pinned floor: {scores} < {floor}")
     print(f"TPU quality pin OK: deterministic, mAP@1 {scores[0]:.4f} >= "
-          f"{QUALITY_FLOOR}", flush=True)
+          f"{floor}", flush=True)
 
 
 if __name__ == "__main__":

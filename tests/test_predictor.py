@@ -187,6 +187,11 @@ def test_chunked_spatial_partitioned_matches_single_device(ckpt_path):
     np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
 
 
+def test_spatial_without_mesh_raises(ckpt_path):
+    with pytest.raises(ValueError, match="spatial=True requires mesh"):
+        ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, spatial=True)
+
+
 def test_short_video_returns_empty(ckpt_path):
     # video shorter than one 6-frame/step-2 window → no predictions, no hang
     chunked = ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32, chunk_size=8)
