@@ -263,12 +263,23 @@ def prefetch_to_device(
     axis as it lands, so the jitted step never blocks on host transfer.
     ``device_put`` also copies the loader's pooled buffers out immediately,
     making buffer reuse safe.
+
+    Multi-host: when the sharding spans devices of other processes (a pod
+    mesh — ``parallel/multihost.py``), each process's batch is its
+    process-LOCAL rows of the global batch, assembled via
+    ``jax.make_array_from_process_local_data`` instead of ``device_put``.
     """
     import jax
 
     buf = collections.deque()
+    multihost = sharding is not None and not sharding.is_fully_addressable
 
     def put(batch):
+        if multihost:
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(sharding, a),
+                batch,
+            )
         if sharding is not None:
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)

@@ -41,16 +41,17 @@ from ball_action_spotting_tpu.train.steps import (
 logger = logging.getLogger(__name__)
 
 
-def _setup_file_logging(save_dir: Path) -> logging.Logger:
+def _setup_file_logging(save_dir: Path, to_file: bool = True) -> logging.Logger:
     lg = logging.getLogger(f"bas_tpu.train.{save_dir}")
     lg.setLevel(logging.INFO)
     lg.handlers.clear()
-    save_dir.mkdir(parents=True, exist_ok=True)
-    fh = logging.FileHandler(save_dir / "log.txt")
-    fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s: %(message)s"))
+    if to_file:  # multihost: only the primary process owns log.txt
+        save_dir.mkdir(parents=True, exist_ok=True)
+        fh = logging.FileHandler(save_dir / "log.txt")
+        fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s: %(message)s"))
+        lg.addHandler(fh)
     sh = logging.StreamHandler()
     sh.setFormatter(logging.Formatter("%(message)s"))
-    lg.addHandler(fh)
     lg.addHandler(sh)
     lg.propagate = False
     return lg
@@ -102,7 +103,12 @@ class Trainer:
         self.classes = classes
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
-        self.logger = _setup_file_logging(self.save_dir)
+        # multihost (pod) awareness — parallel/multihost.py: every process
+        # runs the same program over the global mesh; only the primary
+        # writes checkpoints/logs (assumes a shared experiment dir)
+        self._nproc = jax.process_count()
+        self._primary = jax.process_index() == 0
+        self.logger = _setup_file_logging(self.save_dir, to_file=self._primary)
         self.csv_logger = CsvLogger(self.save_dir / "log.csv")
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.seed = seed
@@ -156,7 +162,14 @@ class Trainer:
             ),
             donate_argnums=0,
         )
-        self.val_step = jax.jit(make_val_step(self.model, self.loss))
+        # multihost: replicate val outputs (an XLA all-gather over the batch
+        # axis) so every process can read predictions for host-side metrics
+        self.val_step = jax.jit(
+            make_val_step(self.model, self.loss),
+            out_shardings=(
+                mesh_lib.replicated(self.mesh) if self._nproc > 1 else None
+            ),
+        )
         self.predict_step = jax.jit(make_predict_step(self.model))
 
         self.ckpt_manager = ckpt_lib.CheckpointManager(
@@ -213,11 +226,17 @@ class Trainer:
 
     def _device_batches(self, loader, epoch: int):
         """Yields (frames, targets, valid): batches padded to the mesh's
-        data-axis size, device-resident, with the count of real rows."""
+        data-axis size, device-resident, with the count of real rows.
+
+        Multihost: the loader yields this process's LOCAL rows
+        (``multihost.local_batch_size``); padding targets the per-process
+        device share and ``prefetch_to_device`` assembles the global batch
+        via ``make_array_from_process_local_data``. ``valid`` stays the
+        local count."""
         from ball_action_spotting_tpu.data.loader import prefetch_to_device
 
         sharding = mesh_lib.batch_sharding(self.mesh)
-        n_dev = int(np.prod(self.mesh.devices.shape))
+        n_dev = max(1, int(np.prod(self.mesh.devices.shape)) // self._nproc)
         valids: list[int] = []
 
         def padded():
@@ -244,9 +263,11 @@ class Trainer:
             n += valid
         losses = [float(l) for l in losses]
         dt = time.time() - t0
+        # multihost: every process contributes the same local count, so the
+        # fleet-wide throughput is local × process_count
         return {
             "train_loss": float(np.mean(losses)) if losses else float("nan"),
-            "train_samples_per_sec": n / dt if dt > 0 else 0.0,
+            "train_samples_per_sec": n * self._nproc / dt if dt > 0 else 0.0,
         }
 
     def val_epoch(self, loader, epoch: int = 0) -> dict:
@@ -258,10 +279,28 @@ class Trainer:
             out = self.val_step(self.state, frames, targets)
             losses.append(float(out["loss"]))
             # drop mesh-padding duplicate rows from epoch metrics
-            trimmed = {
-                "prediction": np.asarray(out["prediction"])[:valid],
-                "target": np.asarray(out["target"])[:valid],
-            }
+            if self._nproc > 1:
+                # outputs are replicated (out_shardings above) so every
+                # process reads the full global batch; each process's rows
+                # form one contiguous block with its padding at the tail
+                from ball_action_spotting_tpu.parallel import multihost
+
+                valids_all = np.asarray(
+                    multihost.allgather(np.array([valid], np.int32))
+                ).reshape(-1)
+                pred = np.asarray(out["prediction"])
+                targ = np.asarray(out["target"])
+                rows_per_proc = pred.shape[0] // self._nproc
+                keep = np.concatenate([
+                    np.arange(p * rows_per_proc, p * rows_per_proc + int(v))
+                    for p, v in enumerate(valids_all)
+                ])
+                trimmed = {"prediction": pred[keep], "target": targ[keep]}
+            else:
+                trimmed = {
+                    "prediction": np.asarray(out["prediction"])[:valid],
+                    "target": np.asarray(out["target"])[:valid],
+                }
             for m in metrics:
                 m.update(trimmed)
         results = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
@@ -278,6 +317,9 @@ class Trainer:
         With ``resume=True`` (default), an interrupted run restarts from the
         last completed epoch via the full-state checkpoint
         ``train_state.msgpack`` — mid-run recovery the reference lacks.
+        Multihost: resume requires the experiment dir on a filesystem
+        shared by all hosts (only the primary writes it; every process
+        reads it so all restart from the same epoch).
         """
         if self.state is None:
             self.init_state(pretrain_variables)
@@ -304,23 +346,25 @@ class Trainer:
             if stage == "train" and val_loader is not None:
                 row.update(self.val_epoch(val_loader, epoch))
                 score = row.get(self.monitor, -np.inf)
-                self.ckpt_manager.save(
-                    epoch,
-                    score,
-                    self._params_dict(),
-                    self.state.model_variables(ema=True),
-                    self.state.model_variables(ema=False),
-                )
+                if self._primary:  # multihost: one writer (shared exp dir)
+                    self.ckpt_manager.save(
+                        epoch,
+                        score,
+                        self._params_dict(),
+                        self.state.model_variables(ema=True),
+                        self.state.model_variables(ema=False),
+                    )
                 if score > best.get(self.monitor, -np.inf):
                     best = dict(row)
             self.logger.info(
                 " ".join(f"{k}={v:.6f}" if isinstance(v, float) else f"{k}={v}"
                          for k, v in row.items())
             )
-            self.csv_logger.log(row)
-            if resume:
+            if self._primary:
+                self.csv_logger.log(row)
+            if resume and self._primary:
                 ckpt_lib.save_train_state(resume_path, self.state, epoch, best)
-        if resume and resume_path.exists() and epochs:
+        if resume and self._primary and resume_path.exists() and epochs:
             resume_path.unlink()  # run completed; drop the resume point
         return best
 
