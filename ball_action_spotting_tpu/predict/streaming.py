@@ -286,6 +286,9 @@ class ChunkedVideoPredictor(PredictorBase):
             preds = preds.reshape(n, num_tta, -1).mean(axis=1)
             return preds, frames[-self.overlap:]
 
+        # unjitted program, kept for AOT export (predict/export.py bakes
+        # the variables in as constants and re-jits without donation)
+        self._chunk_fn_raw = chunk_fn
         if mesh is None:
             self._frames_sharding = None
             self._carry_sharding = None
@@ -332,53 +335,103 @@ class ChunkedVideoPredictor(PredictorBase):
         Returns (frame_indexes, raw sigmoid predictions) over the same
         contiguous range as the reference's streaming loop
         (``scripts/ball_action/predict.py:29-56``)."""
-        gen = self.indexes_generator
-        behind = gen.behind
-        min_predict = gen.clip_index(0, frame_count, 1)
-        max_predict = gen.clip_index(frame_count, frame_count, 1)
-        if max_predict < min_predict:  # video shorter than one window
-            return [], np.zeros((0, self.model.num_classes), np.float32)
-        predict_indexes = list(range(min_predict, max_predict + 1))
-        n = self.chunk_size
-        tw, th = self.image_size
 
-        frames_iter = iter(frames)
-        last_frame = np.zeros((th, tw), dtype=np.uint8)
+        def put(sharding):
+            def fn(arr):
+                if sharding is not None:
+                    return jax.device_put(arr, sharding)
+                return jax.device_put(arr)
 
-        def take_frames(count: int) -> np.ndarray:
-            """Next ``count`` padded frames; repeats the last frame past EOF."""
-            nonlocal last_frame
-            out = np.empty((count, th, tw), dtype=np.uint8)
-            for i in range(count):
-                try:
-                    _, frame = next(frames_iter)
-                    last_frame = self.pad_frame(np.asarray(frame))
-                except StopIteration:
-                    pass
-                out[i] = last_frame
-            return out
+            return fn
 
-        # Frames [0, first_needed) are decode-and-dropped; the carry is
-        # bootstrapped with the first `overlap` needed frames.
-        first_needed = predict_indexes[0] - behind
-        take_frames(first_needed)
+        return run_chunk_loop(
+            lambda new, carry: self._chunk_fn(self.variables, new, carry),
+            indexes_generator=self.indexes_generator,
+            chunk_size=self.chunk_size,
+            overlap=self.overlap,
+            image_size=self.image_size,
+            num_classes=self.model.num_classes,
+            frames=frames,
+            frame_count=frame_count,
+            put_new=put(self._frames_sharding),
+            put_carry=put(self._carry_sharding),
+        )
 
-        def put(arr, sharding=None):
-            if sharding is not None:
-                return jax.device_put(arr, sharding)
-            return jax.device_put(arr)
 
-        carry = put(take_frames(self.overlap), self._carry_sharding)
+def run_chunk_loop(
+    chunk_call,
+    *,
+    indexes_generator: StackIndexesGenerator,
+    chunk_size: int,
+    overlap: int,
+    image_size: tuple[int, int],
+    num_classes: int,
+    frames: Iterator[tuple[int, np.ndarray]],
+    frame_count: int,
+    put_new=None,
+    put_carry=None,
+) -> tuple[list[int], np.ndarray]:
+    """Host side of the chunked engine: frame intake, symmetric padding,
+    carry bootstrap, chunk dispatch. Shared by ``ChunkedVideoPredictor``
+    and the AOT-exported runner (``predict/export.py``), so a sealed
+    artifact reproduces the live engine's exact frame-window semantics.
 
-        predictions: list[jax.Array] = []
-        total = len(predict_indexes)
-        for c0 in range(0, total, n):
-            new_frames = put(take_frames(n), self._frames_sharding)
-            preds, carry = self._chunk_fn(self.variables, new_frames, carry)
-            predictions.append(preds)
+    ``chunk_call(new_frames_u8, carry_u8) -> (preds, new_carry)`` is the
+    device program; ``put_new``/``put_carry`` stage host arrays onto the
+    device (default ``jax.device_put``).
+    """
+    gen = indexes_generator
+    behind = gen.behind
+    min_predict = gen.clip_index(0, frame_count, 1)
+    max_predict = gen.clip_index(frame_count, frame_count, 1)
+    if max_predict < min_predict:  # video shorter than one window
+        return [], np.zeros((0, num_classes), np.float32)
+    predict_indexes = list(range(min_predict, max_predict + 1))
+    n = chunk_size
+    tw, th = image_size
 
-        raw = np.concatenate([np.asarray(p) for p in predictions], axis=0)
-        return predict_indexes, raw[:total]
+    frames_iter = iter(frames)
+    last_frame = np.zeros((th, tw), dtype=np.uint8)
+
+    def pad(frame: np.ndarray) -> np.ndarray:
+        h, w = frame.shape
+        if (w, h) == (tw, th):
+            return frame
+        top, left = pad_offsets(image_size, h, w)
+        out = np.zeros((th, tw), dtype=frame.dtype)
+        out[top : top + h, left : left + w] = frame
+        return out
+
+    def take_frames(count: int) -> np.ndarray:
+        """Next ``count`` padded frames; repeats the last frame past EOF."""
+        nonlocal last_frame
+        out = np.empty((count, th, tw), dtype=np.uint8)
+        for i in range(count):
+            try:
+                _, frame = next(frames_iter)
+                last_frame = pad(np.asarray(frame))
+            except StopIteration:
+                pass
+            out[i] = last_frame
+        return out
+
+    put_new = put_new if put_new is not None else jax.device_put
+    put_carry = put_carry if put_carry is not None else jax.device_put
+
+    # Frames [0, first_needed) are decode-and-dropped; the carry is
+    # bootstrapped with the first `overlap` needed frames.
+    first_needed = predict_indexes[0] - behind
+    take_frames(first_needed)
+    carry = put_carry(take_frames(overlap))
+
+    predictions: list = []
+    total = len(predict_indexes)
+    for c0 in range(0, total, n):
+        preds, carry = chunk_call(put_new(take_frames(n)), carry)
+        predictions.append(preds)
+
+    raw = np.concatenate([np.asarray(p) for p in predictions], axis=0)
+    return predict_indexes, raw[:total]
 
 
 def iter_source_frames(source) -> Iterator[tuple[int, np.ndarray]]:
