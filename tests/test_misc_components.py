@@ -84,3 +84,25 @@ def test_visualize_video_writes_avi(tmp_path):
     written = [p for p in (out_mp4, out_mp4.with_suffix(".avi"))
                if p.exists() and p.stat().st_size > 1000]
     assert written
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Compiled executables persist to the configured directory."""
+    import jax
+    import jax.numpy as jnp
+
+    from ball_action_spotting_tpu.utils.platform import (
+        enable_compilation_cache,
+    )
+
+    before_dir = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compilation_cache(tmp_path / "xla_cache",
+                                 min_compile_time_secs=0.0)
+        f = jax.jit(lambda x: jnp.tanh(x @ x.T).sum() * 3)
+        f(np.random.rand(32, 32).astype(np.float32))
+        entries = [p for p in (tmp_path / "xla_cache").rglob("*") if p.is_file()]
+        assert entries, "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
