@@ -55,7 +55,12 @@ def _client_active() -> bool:
 
         return _dist.global_state.client is not None
     except Exception:  # pragma: no cover - private-API drift guard
-        return jax.process_count() > 1
+        # Assume not initialized WITHOUT touching the backend: probing
+        # jax.process_count() here would initialize it and doom the
+        # jax.distributed.initialize() call this guard protects. Under
+        # drift, a genuine double-initialize still fails loudly inside
+        # jax.distributed.initialize itself.
+        return False
 
 
 def initialize(

@@ -115,6 +115,11 @@ class ExportedChunkPredictor:
         if self.meta.get("format") != 1:
             raise ValueError(f"Unknown artifact format: {self.meta}")
         self._exported = jexport.deserialize(parts[1])
+        # jit once: Exported.call builds a fresh wrapper per invocation,
+        # which would add Python dispatch overhead on every chunk
+        import jax
+
+        self._call = jax.jit(self._exported.call)
         self.chunk_size = self.meta["chunk_size"]
         self.overlap = self.meta["overlap"]
         self.image_size = tuple(self.meta["image_size"])  # (W, H)
@@ -130,7 +135,7 @@ class ExportedChunkPredictor:
         frame_count: int,
     ) -> tuple[list[int], np.ndarray]:
         return run_chunk_loop(
-            self._exported.call,
+            self._call,
             indexes_generator=self.indexes_generator,
             chunk_size=self.chunk_size,
             overlap=self.overlap,

@@ -50,6 +50,20 @@ def pad_offsets(image_size, height, width) -> tuple[int, int]:
     return hp // 2, wp // 2
 
 
+def pad_frame(frame: np.ndarray, image_size) -> np.ndarray:
+    """Symmetric zero-pad one (H, W) frame to the (W, H) config size —
+    the single implementation shared by the streaming predictor and the
+    chunk loop (incl. the exported-artifact path)."""
+    h, w = frame.shape
+    tw, th = image_size
+    if (w, h) == (tw, th):
+        return frame
+    top, left = pad_offsets(image_size, h, w)
+    out = np.zeros((th, tw), dtype=frame.dtype)
+    out[top : top + h, left : left + w] = frame
+    return out
+
+
 class PredictorBase:
     def __init__(
         self,
@@ -131,14 +145,7 @@ class PredictorBase:
         self._fwd3d_head = jax.jit(fwd3d_head)
 
     def pad_frame(self, frame: np.ndarray) -> np.ndarray:
-        h, w = frame.shape
-        tw, th = self.image_size
-        if (w, h) == (tw, th):
-            return frame
-        top, left = pad_offsets(self.image_size, h, w)
-        out = np.zeros((th, tw), dtype=frame.dtype)
-        out[top : top + h, left : left + w] = frame
-        return out
+        return pad_frame(frame, self.image_size)
 
 
 class StreamingPredictor(PredictorBase):
@@ -393,15 +400,6 @@ def run_chunk_loop(
     frames_iter = iter(frames)
     last_frame = np.zeros((th, tw), dtype=np.uint8)
 
-    def pad(frame: np.ndarray) -> np.ndarray:
-        h, w = frame.shape
-        if (w, h) == (tw, th):
-            return frame
-        top, left = pad_offsets(image_size, h, w)
-        out = np.zeros((th, tw), dtype=frame.dtype)
-        out[top : top + h, left : left + w] = frame
-        return out
-
     def take_frames(count: int) -> np.ndarray:
         """Next ``count`` padded frames; repeats the last frame past EOF."""
         nonlocal last_frame
@@ -409,7 +407,7 @@ def run_chunk_loop(
         for i in range(count):
             try:
                 _, frame = next(frames_iter)
-                last_frame = pad(np.asarray(frame))
+                last_frame = pad_frame(np.asarray(frame), image_size)
             except StopIteration:
                 pass
             out[i] = last_frame
