@@ -1,0 +1,138 @@
+"""Pipeline parallelism (parallel/pipeline.py): the 2-stage GPipe train step
+must be numerically equivalent to the grad-accumulation step it mirrors
+(same microbatch-BN semantics, ``train/steps.py`` iter_size path), and must
+run on a combined data x pipeline mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tests.test_models  # registers efficientnetv2_test arch  # noqa: F401
+from ball_action_spotting_tpu.models import build_model
+from ball_action_spotting_tpu.ops.focal_loss import FocalLoss
+from ball_action_spotting_tpu.parallel.mesh import make_mesh, replicate_state
+from ball_action_spotting_tpu.parallel.pipeline import (
+    make_pp_train_step,
+    pp_batch_sharding,
+)
+from ball_action_spotting_tpu.train.optim import build_optimizer
+from ball_action_spotting_tpu.train.schedules import warmup_cosine
+from ball_action_spotting_tpu.train.state import TrainState
+from ball_action_spotting_tpu.train.steps import make_train_step
+
+KW = dict(
+    model_name="efficientnetv2_test",
+    num_classes=2,
+    num_frames=6,
+    stack_size=3,
+    index_2d_features=4,
+    num_3d_blocks=1,
+    num_3d_features=16,
+    num_3d_stack_proj=16,
+    expansion_3d_ratio=2,
+    se_reduce_3d_ratio=4,
+    drop_rate=0.0,  # rng-pattern-free so pp == accum exactly
+    drop_path_rate=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model("multidim_stacker", **KW)
+    x0 = jnp.zeros((1, 6, 32, 48), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, x0, train=False)
+    )(jax.random.PRNGKey(0))
+    loss_fn = FocalLoss(alpha=-1.0, gamma=1.2)
+    tx = build_optimizer(
+        "AdamW", {},
+        schedule=warmup_cosine(3e-4, 3e-6, warmup_steps=2, cosine_steps=8),
+    )
+    return model, variables, loss_fn, tx
+
+
+def _batch(b):
+    frames = np.random.default_rng(0).integers(
+        0, 255, (b, 6, 32, 48), dtype=np.uint8)
+    targets = np.random.default_rng(1).random((b, 2)).astype(np.float32)
+    return frames, targets
+
+
+@pytest.mark.parametrize("n_micro", [1, 2])
+def test_pp_step_matches_grad_accum(setup, n_micro):
+    model, variables, loss_fn, tx = setup
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    pp_step = jax.jit(
+        make_pp_train_step(model, loss_fn, tx, 0.999, mesh, n_micro=n_micro))
+    ref_step = jax.jit(
+        make_train_step(model, loss_fn, tx, 0.999, iter_size=n_micro))
+    frames, targets = _batch(4)
+    rng = jax.random.PRNGKey(7)
+
+    state_pp = replicate_state(
+        TrainState.create(jax.tree.map(jnp.array, variables), tx), mesh)
+    state_pp, aux_pp = pp_step(
+        state_pp,
+        jax.device_put(frames, pp_batch_sharding(mesh)),
+        jax.device_put(targets, pp_batch_sharding(mesh)),
+        rng,
+    )
+    state_r = TrainState.create(jax.tree.map(jnp.array, variables), tx)
+    state_r, aux_r = ref_step(
+        state_r, jnp.asarray(frames), jnp.asarray(targets), rng)
+
+    np.testing.assert_allclose(
+        float(aux_pp["loss"]), float(aux_r["loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(aux_pp["prediction"]), np.asarray(aux_r["prediction"]),
+        atol=2e-5)
+    for a, b in zip(jax.tree.leaves(state_pp.params),
+                    jax.tree.leaves(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # running BN stats merge across stages (psum-of-deltas) must
+    # reconstruct the sequential update
+    for a, b in zip(jax.tree.leaves(state_pp.batch_stats),
+                    jax.tree.leaves(state_r.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # EMA follows params
+    for a, b in zip(jax.tree.leaves(state_pp.ema_params),
+                    jax.tree.leaves(state_r.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pp_with_data_parallel_mesh(setup):
+    """dp x pp: batch over 4 data shards, stages over the model axis."""
+    model, variables, loss_fn, tx = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    pp_step = jax.jit(
+        make_pp_train_step(model, loss_fn, tx, 0.999, mesh, n_micro=2),
+        donate_argnums=0,
+    )
+    frames, targets = _batch(8)  # 2 per data shard, 1 per microbatch
+    state = replicate_state(
+        TrainState.create(jax.tree.map(jnp.array, variables), tx), mesh)
+    prev_stats = [np.asarray(s) for s in jax.tree.leaves(state.batch_stats)]
+    state, aux = pp_step(
+        state,
+        jax.device_put(frames, pp_batch_sharding(mesh)),
+        jax.device_put(targets, pp_batch_sharding(mesh)),
+        jax.random.PRNGKey(3),
+    )
+    loss = float(aux["loss"])
+    assert np.isfinite(loss)
+    assert aux["prediction"].shape == (8, 2)
+    assert int(state.step) == 1
+    # every stage's BN stats advanced (warmup lr is 0 at step 0, so params
+    # are not the signal here): encoder stats live on stage 0, tail stats
+    # on stage 1 — ALL leaves moving proves both stages ran and the
+    # psum-of-deltas merge reached every device
+    for before, after in zip(prev_stats, jax.tree.leaves(state.batch_stats)):
+        assert float(np.max(np.abs(np.asarray(after) - before))) > 0
+
+
+def test_pp_rejects_wrong_stage_count(setup):
+    model, variables, loss_fn, tx = setup
+    mesh = make_mesh(n_data=8, n_model=1)
+    with pytest.raises(ValueError, match="model axis"):
+        make_pp_train_step(model, loss_fn, tx, 0.999, mesh, n_micro=2)
