@@ -150,18 +150,51 @@ class Trainer:
         )
 
         self.ema_decay = config.get("ema_decay", 0.999)
-        self.train_step = jax.jit(
-            make_train_step(
-                self.model,
-                self.loss,
-                self.tx,
-                ema_decay=self.ema_decay,
-                augment_fn=augment_fn,
-                mixup_fn=mixup_fn,
-                iter_size=int(ap.get("iter_size", 1)),
-            ),
-            donate_argnums=0,
+        # pipeline parallelism (config["pipeline_parallel"] = n_micro or
+        # {"n_micro": N}): 2-stage GPipe over the mesh's model axis
+        # (parallel/pipeline.py) instead of the GSPMD step. pp IS a
+        # microbatching scheme, so it supersedes iter_size grad accum.
+        pp_cfg = config.get("pipeline_parallel")
+        self._pp_n_micro = (
+            int(pp_cfg["n_micro"]) if isinstance(pp_cfg, dict)
+            else int(pp_cfg) if pp_cfg else None
         )
+        if self._pp_n_micro:
+            from ball_action_spotting_tpu.parallel.pipeline import (
+                make_pp_train_step,
+            )
+
+            assert int(ap.get("iter_size", 1)) == 1, (
+                "pipeline_parallel replaces iter_size gradient accumulation "
+                "(same microbatch semantics) — set one, not both")
+            assert self._nproc == 1, (
+                "pipeline_parallel is single-host; use the GSPMD step on pods")
+            self.train_step = jax.jit(
+                make_pp_train_step(
+                    self.model,
+                    self.loss,
+                    self.tx,
+                    ema_decay=self.ema_decay,
+                    mesh=self.mesh,
+                    n_micro=self._pp_n_micro,
+                    augment_fn=augment_fn,
+                    mixup_fn=mixup_fn,
+                ),
+                donate_argnums=0,
+            )
+        else:
+            self.train_step = jax.jit(
+                make_train_step(
+                    self.model,
+                    self.loss,
+                    self.tx,
+                    ema_decay=self.ema_decay,
+                    augment_fn=augment_fn,
+                    mixup_fn=mixup_fn,
+                    iter_size=int(ap.get("iter_size", 1)),
+                ),
+                donate_argnums=0,
+            )
         # multihost: replicate val outputs (an XLA all-gather over the batch
         # axis) so every process can read predictions for host-side metrics
         self.val_step = jax.jit(
@@ -237,6 +270,13 @@ class Trainer:
 
         sharding = mesh_lib.batch_sharding(self.mesh)
         n_dev = max(1, int(np.prod(self.mesh.devices.shape)) // self._nproc)
+        if self._pp_n_micro:
+            # the pipelined step needs every data shard divisible into
+            # n_micro microbatches
+            import math
+
+            n_dev = math.lcm(
+                n_dev, self.mesh.shape["data"] * self._pp_n_micro)
         valids: list[int] = []
 
         def padded():

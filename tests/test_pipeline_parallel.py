@@ -131,6 +131,35 @@ def test_pp_with_data_parallel_mesh(setup):
         assert float(np.max(np.abs(np.asarray(after) - before))) > 0
 
 
+def test_trainer_pipeline_parallel_config(tmp_path):
+    """config["pipeline_parallel"] routes the Trainer's train step through
+    the GPipe pipeline; one epoch on synthetic data trains with finite
+    loss and pads batches to data_shards x n_micro."""
+    from tests.test_train_engine import CLASSES, tiny_config
+    from ball_action_spotting_tpu.train.engine import Trainer
+
+    config = tiny_config(pipeline_parallel=2, num_epochs=[1], stages=["train"])
+    mesh = make_mesh(n_data=4, n_model=2)
+    trainer = Trainer(config, CLASSES, tmp_path / "pp",
+                      compute_dtype=np.float32, mesh=mesh)
+    trainer.init_state()
+    frames, targets = _batch(8)
+    metrics = trainer.train_epoch([(frames, targets)], 0)
+    assert np.isfinite(metrics["train_loss"])
+    assert int(trainer.state.step) == 1
+
+
+def test_trainer_pipeline_parallel_rejects_iter_size(tmp_path):
+    from tests.test_train_engine import CLASSES, tiny_config
+    from ball_action_spotting_tpu.train.engine import Trainer
+
+    config = tiny_config(pipeline_parallel=2)
+    config["argus_params"]["iter_size"] = 2
+    with pytest.raises(AssertionError, match="iter_size"):
+        Trainer(config, CLASSES, tmp_path / "x",
+                compute_dtype=np.float32, mesh=make_mesh(n_data=4, n_model=2))
+
+
 def test_pp_rejects_wrong_stage_count(setup):
     model, variables, loss_fn, tx = setup
     mesh = make_mesh(n_data=8, n_model=1)
