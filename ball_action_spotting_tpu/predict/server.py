@@ -14,7 +14,10 @@ API (all JSON unless noted):
         (``since`` is the cursor returned as ``next`` by the previous poll)
   POST /v1/streams/<id>/close   — drop stream state.
   GET  /healthz                 — {"ok": true, "streams": S}
-  GET  /v1/stats                — counters (frames in, predictions out, ticks)
+  GET  /v1/stats                — counters (frames in, predictions out,
+        ticks) + live observability: tick_latency_ms {p50, p99} over a
+        rolling 2048-tick window, mean device batch occupancy, ingest
+        queue depth
 
 Design: request handlers only enqueue; one batcher thread drains the queue
 and makes the batched device calls (``predict_batch``), so TPU programs are
@@ -33,7 +36,9 @@ import json
 import logging
 import queue
 import threading
+import time
 import urllib.parse
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -65,6 +70,10 @@ class SpottingService:
         self._results_base: dict[str, int] = {}
         self._results_lock = threading.Lock()
         self._stats = {"frames_in": 0, "predictions_out": 0, "ticks": 0}
+        # rolling observability window (batcher thread writes, stats()
+        # reads under the lock): per-tick device latency + batch occupancy
+        self._tick_lat_s: deque[float] = deque(maxlen=2048)
+        self._tick_batch: deque[int] = deque(maxlen=2048)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="spotting-batcher")
@@ -109,8 +118,6 @@ class SpottingService:
         # handler thread forever if the batcher is stopped/dead while the
         # bounded queue is full — so when full, evict queued FRAMES (frames
         # are droppable under backpressure by design) until the marker fits.
-        from collections import deque
-
         pending = deque([(stream_id, None, -1)])
         while pending:
             marker = pending.popleft()
@@ -129,7 +136,19 @@ class SpottingService:
     def stats(self) -> dict:
         with self._results_lock:
             streams = len(self._results)
-        return dict(self._stats, streams=streams)
+            lat = list(self._tick_lat_s)
+            occ = list(self._tick_batch)
+        out = dict(self._stats, streams=streams,
+                   queue_depth=self._ingest.qsize())
+        if lat:
+            q50, q99 = np.percentile(lat, [50, 99])
+            out["tick_latency_ms"] = {
+                "p50": round(float(q50) * 1e3, 3),
+                "p99": round(float(q99) * 1e3, 3),
+                "window": len(lat),
+            }
+            out["tick_batch_mean"] = round(float(np.mean(occ)), 2)
+        return out
 
     def stop(self) -> None:
         self._stop.set()
@@ -173,6 +192,7 @@ class SpottingService:
     def _predict_and_record(self, batch: list) -> None:
         if not batch:
             return
+        t0 = time.perf_counter()
         try:
             results = self.predictor.predict_batch(batch)
         except Exception:
@@ -184,6 +204,11 @@ class SpottingService:
             (sid, None if pred is None else np.asarray(pred), idx)
             for sid, pred, idx in results
         ]
+        # np.asarray forces D2H, so this measures true tick latency
+        # (dispatch alone would read ~0 — streaming.py sync convention)
+        with self._results_lock:
+            self._tick_lat_s.append(time.perf_counter() - t0)
+            self._tick_batch.append(len(batch))
         with self._results_lock:
             for sid, pred, idx in materialized:
                 if pred is None:

@@ -145,6 +145,13 @@ def test_server_end_to_end(ckpt_path):
         _, stats = _http("GET", f"{base}/v1/stats")
         assert stats["frames_in"] == 2 * FRAME_COUNT
         assert stats["predictions_out"] >= 2 * len(expected["a"][0])
+        # observability: tick latency percentiles + batch occupancy over
+        # the rolling window, queue depth (drained by now)
+        lat = stats["tick_latency_ms"]
+        assert lat["window"] == stats["ticks"] > 0
+        assert 0 < lat["p50"] <= lat["p99"]
+        assert stats["tick_batch_mean"] >= 1
+        assert stats["queue_depth"] == 0
     finally:
         server.shutdown()
         service.stop()
