@@ -123,9 +123,21 @@ def blend_raw_predictions(
             "Ensemble members cover disjoint frame ranges "
             f"({len(unique)} covered frames in span [{lo}, {hi}])"
         )
+    # same-extent members over one video must cover IDENTICAL ranges (the
+    # range is fully determined by video length + window geometry): equal
+    # extents with shifted endpoints mean a stale/shifted member, which
+    # would otherwise blend silently and dilute edge scores. Genuine
+    # mixed-window ensembles (15- vs 33-frame stages) differ in extent.
+    spans = {(int(fi.min()), int(fi.max())) for fi, _ in loaded}
+    extents = {b - a for a, b in spans}
+    if len(extents) == 1 and len(spans) > 1:
+        raise ValueError(
+            f"Same-window ensemble members cover misaligned frame ranges: "
+            f"{sorted(spans)}"
+        )
     num_classes = loaded[0][1].shape[1]
-    dense = np.zeros((hi + 1, num_classes), dtype=np.float64)
+    dense = np.zeros((hi - lo + 1, num_classes), dtype=np.float64)
     for fi, rp in loaded:
-        dense[np.asarray(fi)] += rp
+        dense[np.asarray(fi) - lo] += rp
     dense /= len(loaded)
-    return np.arange(lo, hi + 1), dense[lo:]
+    return np.arange(lo, hi + 1), dense

@@ -75,10 +75,18 @@ def checkpoint_name(epoch: int, score: float) -> str:
 
 
 def get_best_checkpoint_path(
-    dir_path: Path, return_score: bool = False, more_better: bool = True
+    dir_path: Path, return_score: bool = False, more_better: bool = True,
+    tie_keep: str = "last",
 ):
     """Filename-score-based best checkpoint discovery
-    (reference ``src/utils.py:31-52``); also accepts reference ``.pth``."""
+    (reference ``src/utils.py:31-52``); also accepts reference ``.pth``.
+
+    ``tie_keep`` breaks exact score ties: ``"last"`` (default) prefers the
+    later epoch — the right pick for saturating monitor metrics; ``"first"``
+    the earlier one, matching ``CheckpointManager(tie_keep="first")``
+    retention (argus parity) when ``max_saves > 1`` kept several tied
+    files. (With the default ``max_saves=1`` only one tied file survives
+    retention, so the policies coincide.)"""
     dir_path = Path(dir_path)
     scored = []
     for path in list(dir_path.glob(f"*{CKPT_SUFFIX}")) + list(dir_path.glob("*.pth")):
@@ -100,11 +108,15 @@ def get_best_checkpoint_path(
         return int(m.group(1)) if m else -1
 
     # primary: score (reference src/utils.py:46 sorts by score only — its
-    # tie order is glob-order-arbitrary); secondary: LATER epoch wins exact
-    # ties, a deterministic refinement that matters with max_saves > 1 and a
+    # tie order is glob-order-arbitrary); secondary: epoch per ``tie_keep``,
+    # a deterministic refinement that matters with max_saves > 1 and a
     # saturating monitor metric (see CheckpointManager.tie_keep)
+    assert tie_keep in ("first", "last"), tie_keep
+    epoch_sign = -1 if tie_keep == "last" else 1
     scored.sort(
-        key=lambda x: (-x[1] if more_better else x[1], -epoch_of(x[0]))
+        key=lambda x: (
+            -x[1] if more_better else x[1], epoch_sign * epoch_of(x[0])
+        )
     )
     best, score = scored[0]
     return (best, score) if return_score else best

@@ -133,15 +133,26 @@ def test_blend_mixed_ranges_union_with_zero_fill():
     models) blend over the UNION range; uncovered frames contribute zeros
     and the divisor stays the member count (reference ensemble.py:28-32
     accumulation semantics — see blend_raw_predictions deviation note)."""
-    fi1 = np.arange(10, 20)
-    fi2 = np.arange(12, 22)
+    fi1 = np.arange(10, 20)           # 10-frame extent (short-window model)
+    fi2 = np.arange(12, 24)           # 12-frame extent (long-window model)
     rp1 = np.full((10, 2), 0.4, np.float32)
-    rp2 = np.full((10, 2), 0.8, np.float32)
+    rp2 = np.full((12, 2), 0.8, np.float32)
     bi, bp = blend_raw_predictions([(fi1, rp1), (fi2, rp2)])
-    np.testing.assert_array_equal(bi, np.arange(10, 22))
+    np.testing.assert_array_equal(bi, np.arange(10, 24))
     np.testing.assert_allclose(bp[0], [0.2, 0.2])    # only member 1 covers 10
     np.testing.assert_allclose(bp[2], [0.6, 0.6])    # both cover 12
-    np.testing.assert_allclose(bp[-1], [0.4, 0.4])   # only member 2 covers 21
+    np.testing.assert_allclose(bp[-1], [0.4, 0.4])   # only member 2 covers 23
+
+
+def test_blend_same_extent_shifted_raises():
+    """Equal-extent members with shifted endpoints are a stale/shifted npz
+    (one video's range is fixed by length + window geometry), not a
+    mixed-window ensemble — blending them silently would dilute edges."""
+    fi1 = np.arange(10, 20)
+    fi2 = np.arange(12, 22)
+    rp = np.ones((10, 2), np.float32)
+    with pytest.raises(ValueError, match="misaligned"):
+        blend_raw_predictions([(fi1, rp), (fi2, rp)])
 
 
 def test_blend_disjoint_ranges_raises():
