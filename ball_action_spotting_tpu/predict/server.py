@@ -47,6 +47,56 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class _IngestQueue:
+    """FIFO ingest queue with frame-only capacity: frames (each pins a full
+    uint8 buffer) are bounded for backpressure; close markers are tiny
+    control tuples and are always accepted IN PLACE, keeping their queue
+    position relative to surrounding frames. This avoids the two failure
+    modes of squeezing markers into a shared bound by eviction: dropping
+    already-202-acknowledged frames of healthy streams, and re-enqueueing a
+    displaced marker at the tail (reordering the close behind frames
+    submitted after it, which would tear down a reopened stream
+    mid-session)."""
+
+    def __init__(self, frame_capacity: int):
+        self._frame_capacity = int(frame_capacity)
+        self._items: "deque[tuple]" = deque()
+        self._frames = 0
+        self._not_empty = threading.Condition(threading.Lock())
+
+    def put_frame(self, item: tuple) -> bool:
+        with self._not_empty:
+            if self._frames >= self._frame_capacity:
+                return False
+            self._items.append(item)
+            self._frames += 1
+            self._not_empty.notify()
+        return True
+
+    def put_marker(self, item: tuple) -> None:
+        with self._not_empty:
+            self._items.append(item)
+            self._not_empty.notify()
+
+    def get(self, timeout: Optional[float] = None) -> tuple:
+        with self._not_empty:
+            if not self._items and timeout:
+                self._not_empty.wait(timeout)
+            if not self._items:
+                raise queue.Empty
+            item = self._items.popleft()
+            if item[1] is not None:  # frame (markers carry frame=None)
+                self._frames -= 1
+            return item
+
+    def get_nowait(self) -> tuple:
+        return self.get(timeout=None)
+
+    def qsize(self) -> int:
+        with self._not_empty:
+            return len(self._items)
+
+
 class SpottingService:
     """Batches frames across streams onto the device; thread-safe facade
     over ``MultiStreamPredictor``."""
@@ -58,11 +108,11 @@ class SpottingService:
         self.max_batch = int(max_batch)
         self.tick_timeout_s = float(tick_timeout_s)
         self.result_capacity = int(result_capacity)
-        # bounded: each queued item pins a full frame buffer; clients that
-        # outrun the device get 503s (backpressure) instead of growing host
-        # memory without limit
-        self._ingest: "queue.Queue[tuple]" = queue.Queue(
-            maxsize=int(ingest_capacity))
+        # frame slots bounded: each queued frame pins a full buffer; clients
+        # that outrun the device get 503s (backpressure) instead of growing
+        # host memory without limit. Close markers bypass the frame bound
+        # (see _IngestQueue).
+        self._ingest = _IngestQueue(int(ingest_capacity))
         self._results: dict[str, list[tuple[int, list[float]]]] = {}
         # absolute sequence number of each stream's first buffered result:
         # poll cursors are ABSOLUTE, so trimming old results never starves
@@ -84,9 +134,7 @@ class SpottingService:
     def submit_frame(self, stream_id: str, frame: np.ndarray, index: int) -> bool:
         """Enqueue for the batcher; False when the ingest queue is full
         (caller should surface backpressure, e.g. HTTP 503)."""
-        try:
-            self._ingest.put_nowait((stream_id, frame, index))
-        except queue.Full:
+        if not self._ingest.put_frame((stream_id, frame, index)):
             return False
         with self._results_lock:  # handler threads race on +=
             self._stats["frames_in"] += 1
@@ -113,25 +161,12 @@ class SpottingService:
         # result buffers are torn down on the batcher thread, in queue
         # order: purging results on the handler thread left frames already
         # enqueued ahead of the marker to re-create ``_results[sid]`` (a
-        # zombie stream in /healthz counts). Close markers must not be
-        # dropped under backpressure, but a BLOCKING put could wedge the
-        # handler thread forever if the batcher is stopped/dead while the
-        # bounded queue is full — so when full, evict queued FRAMES (frames
-        # are droppable under backpressure by design) until the marker fits.
-        pending = deque([(stream_id, None, -1)])
-        while pending:
-            marker = pending.popleft()
-            while True:
-                try:
-                    self._ingest.put_nowait(marker)
-                    break
-                except queue.Full:
-                    try:
-                        item = self._ingest.get_nowait()
-                    except queue.Empty:
-                        continue
-                    if item[1] is None:  # never drop a displaced close marker
-                        pending.append(item)
+        # zombie stream in /healthz counts). The marker bypasses the frame
+        # capacity bound (it pins no frame buffer), so it lands in its true
+        # FIFO position even under backpressure — no eviction of
+        # acknowledged frames, no reordering, no blocking put that could
+        # wedge the handler thread on a dead batcher.
+        self._ingest.put_marker((stream_id, None, -1))
 
     def stats(self) -> dict:
         with self._results_lock:

@@ -287,3 +287,66 @@ def test_close_purges_results_on_batcher_thread():
         assert stats["predictions_out"] == 2  # pre-close frames still served
     finally:
         svc.stop()
+
+def test_ingest_queue_markers_bypass_frame_capacity():
+    """Close markers land in their true FIFO position even under
+    backpressure: no acknowledged frame of any stream is evicted and the
+    marker is not reordered behind later submissions (round-3 review)."""
+    from ball_action_spotting_tpu.predict.server import _IngestQueue
+
+    q = _IngestQueue(2)
+    assert q.put_frame(("a", b"f0", 0))
+    assert q.put_frame(("a", b"f1", 1))
+    assert not q.put_frame(("a", b"f2", 2))  # frame backpressure
+    q.put_marker(("b", None, -1))            # accepted despite full frames
+    q.put_marker(("a", None, -1))
+    assert q.qsize() == 4
+    drained = [q.get_nowait() for _ in range(4)]
+    assert drained == [
+        ("a", b"f0", 0), ("a", b"f1", 1), ("b", None, -1), ("a", None, -1),
+    ]
+    # draining frames frees frame capacity; markers never consumed it
+    assert q.put_frame(("a", b"f3", 3))
+
+
+def test_close_under_backpressure_drops_no_acknowledged_frames():
+    """A close issued while the ingest queue is frame-full must not evict
+    already-202-acknowledged frames: every accepted frame is predicted."""
+    import threading
+
+    from ball_action_spotting_tpu.predict.server import SpottingService
+
+    release = threading.Event()
+
+    class _SlowPredictor:
+        def __init__(self):
+            self.closed = []
+
+        def close_stream(self, sid):
+            self.closed.append(sid)
+
+        def predict_batch(self, batch):
+            release.wait(timeout=10)
+            return [(sid, np.asarray([0.5]), idx) for sid, _f, idx in batch]
+
+    p = _SlowPredictor()
+    svc = SpottingService(p, max_batch=4, ingest_capacity=2)
+    try:
+        ok = [svc.submit_frame("s", np.zeros((2, 2), np.uint8), i)
+              for i in range(10)]
+        accepted = sum(ok)
+        assert accepted < 10  # backpressure engaged
+        svc.close_stream("s")  # queue is frame-full; marker must still land
+        release.set()
+        deadline = time.time() + 10
+        while time.time() < deadline and (
+            "s" not in p.closed
+            or svc.stats()["predictions_out"] < accepted
+        ):
+            time.sleep(0.01)
+        stats = svc.stats()
+        assert p.closed == ["s"]
+        assert stats["predictions_out"] == accepted
+    finally:
+        release.set()
+        svc.stop()
