@@ -291,8 +291,41 @@ class Trainer:
         for frames, targets in prefetch_to_device(padded(), sharding):
             yield frames, targets, valids.pop(0)
 
+    def _assert_equal_multihost_steps(self, loader, what: str) -> None:
+        """Every process must issue the SAME number of jitted (collective)
+        calls per epoch — one process entering a step/allgather rendezvous
+        the others never join hangs the pod forever. Fail loudly up front
+        instead: gather each process's local batch count and compare.
+        Shard sized val data with ``multihost.process_slice_even`` (equal
+        shares), not ``process_slice`` (balanced ±1)."""
+        if self._nproc <= 1:
+            return
+        from ball_action_spotting_tpu.parallel import multihost
+
+        try:
+            local = len(loader)
+        except TypeError:
+            raise TypeError(
+                f"multihost {what} requires a sized loader (len(loader)) "
+                "so equal per-process batch counts can be verified before "
+                "entering the collective loop"
+            ) from None
+        counts = np.asarray(
+            multihost.allgather(np.array([local], np.int64))
+        ).reshape(-1)
+        if len({int(c) for c in counts}) > 1:
+            raise RuntimeError(
+                f"multihost {what}: unequal per-process batch counts "
+                f"{counts.tolist()} would deadlock the pod at the first "
+                "missing collective call. Shard with "
+                "multihost.process_slice_even (equal shares) rather than "
+                "process_slice, and keep epoch_size/batch_size aligned "
+                "across processes."
+            )
+
     def train_epoch(self, loader, epoch: int) -> dict:
         assert self.state is not None, "call init_state first"
+        self._assert_equal_multihost_steps(loader, "train_epoch")
         rng = jax.random.PRNGKey(self.seed + 1)
         losses = []
         t0 = time.time()
@@ -312,6 +345,7 @@ class Trainer:
 
     def val_epoch(self, loader, epoch: int = 0) -> dict:
         assert self.state is not None
+        self._assert_equal_multihost_steps(loader, "val_epoch")
         metrics = [AveragePrecision(self.classes),
                    Accuracy(self.classes, self.config.get("metric_accuracy_threshold", 0.5))]
         losses = []

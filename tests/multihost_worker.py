@@ -126,6 +126,9 @@ def mode_fit(mesh, workdir: Path):
                 yield (np.stack([c[0] for c in chunk]),
                        np.stack([c[1] for c in chunk]))
 
+        def __len__(self):  # Trainer verifies equal multihost batch counts
+            return (len(self.items) + self.batch - 1) // self.batch
+
     config = tiny_config(train_epoch_size=global_epoch_size, num_epochs=[1, 2])
     config["batch_size"] = global_batch
     trainer = Trainer(config, CLASSES, workdir, compute_dtype=np.float32,

@@ -136,3 +136,34 @@ def test_pod_trainer_fit(tmp_path):
     names = sorted(p.name for p in tmp_path.glob("*"))
     assert "log.txt" in names and "log.csv" in names
     assert any(n.endswith(".ckpt") for n in names)
+
+
+def test_unequal_multihost_batch_counts_fail_loudly(monkeypatch):
+    """Round-3 review: unequal per-process val/train batch counts would
+    deadlock the pod at the first missing collective; the Trainer now
+    verifies counts up front via allgather and raises instead."""
+    from ball_action_spotting_tpu.train import engine as engine_mod
+    from ball_action_spotting_tpu.train.engine import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t._nproc = 2
+
+    monkeypatch.setattr(multihost, "allgather",
+                        lambda x: np.array([[3], [2]], np.int64))
+    with pytest.raises(RuntimeError, match="deadlock"):
+        t._assert_equal_multihost_steps([1, 2, 3], "val_epoch")
+
+    # unsized loaders cannot be verified -> refuse rather than risk a hang
+    with pytest.raises(TypeError, match="sized"):
+        t._assert_equal_multihost_steps(iter([]), "val_epoch")
+
+    # equal counts pass through
+    monkeypatch.setattr(multihost, "allgather",
+                        lambda x: np.array([[3], [3]], np.int64))
+    t._assert_equal_multihost_steps([1, 2, 3], "val_epoch")
+
+    # single-process mode never gathers (allgather would fail here)
+    t._nproc = 1
+    monkeypatch.setattr(multihost, "allgather",
+                        lambda x: (_ for _ in ()).throw(AssertionError))
+    t._assert_equal_multihost_steps(iter([]), "val_epoch")
