@@ -76,10 +76,17 @@ def replicate_state(state, mesh: Mesh):
 
 def pad_batch_to_devices(frames: np.ndarray, targets: np.ndarray, n: int):
     """Pad a trailing partial batch so its leading dim divides the mesh's
-    data axis; returns (frames, targets, valid_count)."""
+    data axis; returns (frames, targets, valid_count).
+
+    Padding CYCLES the real rows (row ``b+i`` duplicates row ``i % b``)
+    rather than repeating the last row: padded rows do enter the unmasked
+    train loss, and cycling keeps the duplicate weight as uniform as
+    possible (repeat-last would over-weight one sample's gradient by the
+    whole pad amount). Exactly uniform when ``n`` is a multiple of ``b``."""
     b = frames.shape[0]
     pad = (-b) % n
     if pad:
-        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
-        targets = np.concatenate([targets, np.repeat(targets[-1:], pad, axis=0)])
+        idx = np.arange(b + pad) % b
+        frames = frames[idx]
+        targets = targets[idx]
     return frames, targets, b

@@ -47,9 +47,13 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ball_action_spotting_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from ball_action_spotting_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+)
 from ball_action_spotting_tpu.train.state import TrainState, ema_update
 from ball_action_spotting_tpu.train.steps import normalize_frames
 
@@ -222,7 +226,12 @@ def make_pp_train_step(
     ``(state, frames_u8, targets, rng) -> (state, aux)``, same optimizer/EMA
     tail, forward+backward run as a 2-stage GPipe pipeline over the mesh's
     model axis. Augment/mixup run before the pipeline as ordinary
-    batch-parallel GSPMD ops (they have no stage structure).
+    batch-parallel GSPMD ops (they have no stage structure) — but PER
+    MICROBATCH with the grad-accumulation path's exact rng schedule
+    (``steps.py:88-92``), so mixup pairs rows within each microbatch and
+    each microbatch draws independent augment params, preserving the
+    "pp(n_micro=M) == iter_size=M" regularization semantics the engine
+    advertises when swapping one for the other.
     """
     forward_loss = make_pp_forward_loss(model, loss_fn, mesh, n_micro)
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
@@ -231,12 +240,30 @@ def make_pp_train_step(
                    rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         data_rng, pipe_rng = jax.random.split(rng)
-        aug_rng, mix_rng = jax.random.split(data_rng)
         x = normalize_frames(frames)
-        if augment_fn is not None:
-            x = augment_fn(aug_rng, x)
-        if mixup_fn is not None:
-            x, targets = mixup_fn(mix_rng, x, targets)
+        if augment_fn is not None or mixup_fn is not None:
+            b = frames.shape[0]
+            assert b % n_micro == 0, (b, n_micro)
+            mb = b // n_micro
+            xs, tgts = [], []
+            # unrolled (n_micro is small + static); microbatch i sees the
+            # same r1 stream as the iter_size scan body in steps.py
+            for i in range(n_micro):
+                if n_micro == 1:  # steps.py:76-77 uses data_rng unsplit
+                    r1 = data_rng
+                else:
+                    r1, _ = jax.random.split(jax.random.fold_in(data_rng, i))
+                aug_rng, mix_rng = jax.random.split(r1)
+                xi = x[i * mb:(i + 1) * mb]
+                ti = targets[i * mb:(i + 1) * mb]
+                if augment_fn is not None:
+                    xi = augment_fn(aug_rng, xi)
+                if mixup_fn is not None:
+                    xi, ti = mixup_fn(mix_rng, xi, ti)
+                xs.append(xi)
+                tgts.append(ti)
+            x = jnp.concatenate(xs)
+            targets = jnp.concatenate(tgts)
 
         (loss, (out, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, x, targets, pipe_rng
@@ -261,7 +288,6 @@ def make_pp_train_step(
     return train_step
 
 
-def pp_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Input sharding for the pipelined step: batch over data, replicated
-    over the model (stage) axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+# input sharding for the pipelined step is the ordinary one: batch over
+# data, replicated over the model (stage) axis
+pp_batch_sharding = batch_sharding

@@ -169,6 +169,24 @@ class Trainer:
                 "(same microbatch semantics) — set one, not both")
             assert self._nproc == 1, (
                 "pipeline_parallel is single-host; use the GSPMD step on pods")
+            import math
+
+            pad_to = math.lcm(
+                int(np.prod(self.mesh.devices.shape)),
+                self.mesh.shape["data"] * self._pp_n_micro,
+            )
+            if self.batch_size % pad_to:
+                # fail at config time: _device_batches would otherwise pad
+                # EVERY full batch (silent compute inflation + duplicated
+                # rows in the unmasked train loss), not just the trailing
+                # partial one
+                raise ValueError(
+                    f"pipeline_parallel: batch_size={self.batch_size} must "
+                    f"be divisible by lcm(n_devices, data_axis*n_micro)="
+                    f"{pad_to} (mesh {dict(self.mesh.shape)}, n_micro="
+                    f"{self._pp_n_micro}) — otherwise every batch is padded "
+                    "with duplicate rows"
+                )
             self.train_step = jax.jit(
                 make_pp_train_step(
                     self.model,

@@ -60,13 +60,31 @@ def _batch(b):
 
 
 @pytest.mark.parametrize("n_micro", [1, 2])
-def test_pp_step_matches_grad_accum(setup, n_micro):
+@pytest.mark.parametrize("with_data_aug", [False, True])
+def test_pp_step_matches_grad_accum(setup, n_micro, with_data_aug):
+    """pp(n_micro=M) must be numerically equivalent to iter_size=M — with
+    augment+mixup on, both paths must draw the SAME per-microbatch rng
+    stream (steps.py:88-92), so mixup pairs within microbatches identically
+    (round-3 review: the pp step previously mixed across the whole batch)."""
     model, variables, loss_fn, tx = setup
+    if with_data_aug:
+        from ball_action_spotting_tpu.ops.mixup import make_mixup_fn
+
+        # always-on mixup: prob 1 so the pairing difference cannot hide
+        # behind a skipped draw; augment exercised via the same rng seam
+        mixup_fn = make_mixup_fn(
+            {"prob": 1.0, "mixup_alpha": 1.0, "switch_prob": 0.0})
+        augment_fn = lambda rng, x: x + 0.01 * jax.random.uniform(  # noqa: E731
+            rng, x.shape, x.dtype)
+    else:
+        mixup_fn = augment_fn = None
     mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
     pp_step = jax.jit(
-        make_pp_train_step(model, loss_fn, tx, 0.999, mesh, n_micro=n_micro))
+        make_pp_train_step(model, loss_fn, tx, 0.999, mesh, n_micro=n_micro,
+                           augment_fn=augment_fn, mixup_fn=mixup_fn))
     ref_step = jax.jit(
-        make_train_step(model, loss_fn, tx, 0.999, iter_size=n_micro))
+        make_train_step(model, loss_fn, tx, 0.999, iter_size=n_micro,
+                        augment_fn=augment_fn, mixup_fn=mixup_fn))
     frames, targets = _batch(4)
     rng = jax.random.PRNGKey(7)
 
@@ -156,6 +174,20 @@ def test_trainer_pipeline_parallel_rejects_iter_size(tmp_path):
     config = tiny_config(pipeline_parallel=2)
     config["argus_params"]["iter_size"] = 2
     with pytest.raises(AssertionError, match="iter_size"):
+        Trainer(config, CLASSES, tmp_path / "x",
+                compute_dtype=np.float32, mesh=make_mesh(n_data=4, n_model=2))
+
+
+def test_trainer_pipeline_parallel_rejects_indivisible_batch(tmp_path):
+    """batch_size not divisible by lcm(n_devices, data*n_micro) would pad
+    EVERY batch with duplicate rows (silent compute + loss inflation) —
+    the Trainer must refuse at config time."""
+    from tests.test_train_engine import CLASSES, tiny_config
+    from ball_action_spotting_tpu.train.engine import Trainer
+
+    config = tiny_config(pipeline_parallel=3, num_epochs=[1],
+                         stages=["train"])  # batch 8 % (4*3) != 0
+    with pytest.raises(ValueError, match="divisible"):
         Trainer(config, CLASSES, tmp_path / "x",
                 compute_dtype=np.float32, mesh=make_mesh(n_data=4, n_model=2))
 
