@@ -9,7 +9,6 @@ videos; card-class merging exercises the Labels-v2 parsing path.
 """
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -101,12 +100,12 @@ def workdir(tmp_path_factory):
 
 
 def run_script(script, args, wd):
-    env = dict(os.environ)
-    env.update(
+    from tests.jax_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env(
+        n_devices=2,
         BAS_TPU_WORKDIR=str(wd),
         BAS_TPU_ACTION_SPLITS=str(wd / "splits"),
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
     )
     proc = subprocess.run(
         [sys.executable, str(REPO / "scripts/action" / script), *args],

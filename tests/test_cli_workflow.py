@@ -11,7 +11,6 @@ postprocess, spotting JSON, and mAP@1 — through the actual scripts.
 """
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -100,12 +99,9 @@ def workdir(tmp_path_factory):
 
 
 def run_script(script, args, wd):
-    env = dict(os.environ)
-    env.update(
-        BAS_TPU_WORKDIR=str(wd),
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
-    )
+    from tests.jax_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env(n_devices=2, BAS_TPU_WORKDIR=str(wd))
     proc = subprocess.run(
         [sys.executable, str(REPO / "scripts/ball_action" / script), *args],
         env=env, capture_output=True, text=True, timeout=900, cwd=str(REPO),

@@ -89,7 +89,6 @@ def test_bad_artifact_rejected(tmp_path):
 
 def test_export_cli(tmp_path):
     """scripts/export_model.py seals a checkpoint end to end."""
-    import os
     import subprocess
     import sys
     from pathlib import Path
@@ -107,7 +106,9 @@ def test_export_cli(tmp_path):
     save_checkpoint(ckpt, params, variables)
 
     out = tmp_path / "tiny.basx"
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    from tests.jax_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env()
     proc = subprocess.run(
         [sys.executable, str(repo / "scripts/export_model.py"),
          "--checkpoint", str(ckpt), "--output", str(out),

@@ -7,7 +7,6 @@ programs over the global 2-process mesh — see tests/multihost_worker.py.
 """
 
 import json
-import os
 import socket
 import subprocess
 import sys
@@ -79,8 +78,9 @@ def _free_port() -> int:
 
 def _run_pod(mode: str, tmp_path: Path, nproc: int = 2, timeout: int = 420):
     port = _free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    from tests.jax_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env()  # worker sets its own device count
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), "--process-id", str(i),

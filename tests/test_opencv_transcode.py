@@ -86,10 +86,13 @@ def test_transcode_cli_parallel_jobs(video_path, tmp_path):
     paths = [tmp_path / f"half{i}.avi" for i in range(2)]
     for p in paths:
         shutil.copy(src_path, p)
+    from tests.jax_env import cpu_subprocess_env
+
     proc = subprocess.run(
         [sys.executable, str(Path("scripts/transcode.py").resolve()),
          "--videos", *map(str, paths), "--jobs", "2"],
         capture_output=True, text=True, timeout=120,
+        env=cpu_subprocess_env(),
     )
     assert proc.returncode == 0, proc.stderr
     for p in paths:

@@ -18,7 +18,6 @@ frozen-encoder masking, ensemble blending, and the challenge tree.
 """
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -164,12 +163,12 @@ def workdir(tmp_path_factory):
 
 @pytest.mark.slow
 def test_four_stage_rehearsal(workdir):
-    env = dict(os.environ)
-    env.update(
+    from tests.jax_env import cpu_subprocess_env
+
+    env = cpu_subprocess_env(
+        n_devices=2,
         BAS_TPU_WORKDIR=str(workdir),
         BAS_TPU_ACTION_SPLITS=str(workdir / "splits"),
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=2",
     )
     proc = subprocess.run(
         [sys.executable, str(REPO / "scripts/rehearsal.py"),
