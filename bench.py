@@ -368,7 +368,36 @@ def bench_serve() -> dict:
     }
 
 
+def _device_init_watchdog(timeout_s: float):
+    """Backend init through the axon tunnel can hang INDEFINITELY when the
+    remote pool's grant is wedged (observed 2026-08-17: ``jax.devices()``
+    asleep in the claim-retry loop for 15+ min). A hung bench is worse than
+    a failed one for the driver — convert the hang into a loud, fast-ish
+    diagnostic exit. Returns an Event to set once devices are live."""
+    import threading
+
+    done = threading.Event()
+
+    def check():
+        if not done.wait(timeout_s):
+            print(
+                f"bench: device backend failed to initialize within "
+                f"{timeout_s:.0f}s (remote TPU pool unreachable/wedged); "
+                "no measurement possible",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=check, daemon=True).start()
+    return done
+
+
 def main() -> None:
+    done = _device_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
+    import jax
+
+    print(f"# bench devices: {jax.devices()}", file=sys.stderr, flush=True)
+    done.set()
     metric = os.environ.get("BENCH_METRIC", "infer")
     if metric == "train":
         print(json.dumps(bench_train()))
