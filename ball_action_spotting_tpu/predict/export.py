@@ -80,6 +80,9 @@ def export_chunked_predictor(
             "overlap": predictor.overlap,
             "image_size": [tw, th],
             "num_classes": int(predictor.model.num_classes),
+            # a FusedFoldsPredictor seals the WHOLE fold ensemble into one
+            # artifact; its predictions carry a fold axis
+            "num_folds": getattr(predictor, "num_folds", None),
             "frame_stack_size": predictor.frame_stack_size,
             "frame_stack_step": predictor.frame_stack_step,
             "tta": bool(predictor.tta),
@@ -124,6 +127,7 @@ class ExportedChunkPredictor:
         self.overlap = self.meta["overlap"]
         self.image_size = tuple(self.meta["image_size"])  # (W, H)
         self.num_classes = self.meta["num_classes"]
+        self.num_folds = self.meta.get("num_folds")
         self.tta = self.meta["tta"]
         self.indexes_generator = StackIndexesGenerator(
             self.meta["frame_stack_size"], self.meta["frame_stack_step"]
@@ -140,7 +144,10 @@ class ExportedChunkPredictor:
             chunk_size=self.chunk_size,
             overlap=self.overlap,
             image_size=self.image_size,
-            num_classes=self.num_classes,
+            num_classes=(
+                (self.num_folds, self.num_classes)
+                if self.num_folds else self.num_classes
+            ),
             frames=frames,
             frame_count=frame_count,
         )

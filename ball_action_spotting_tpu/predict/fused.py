@@ -1,0 +1,171 @@
+"""Fused multi-fold ensemble engine: decode + upload each video ONCE, run
+every fold's model inside one chunk program.
+
+The reference's challenge workflow predicts every challenge game once PER
+FOLD (7×): ``/root/reference/scripts/ball_action/predict.py:58-80`` loops
+folds on the outside, so each video is decoded, padded, and moved to the
+device seven times before ``scripts/ball_action/ensemble.py:38-104`` blends
+the saved raws. On a TPU host that repeats the two host-side costs that
+dominate offline inference — video decode and host→device transfer — for
+identical input bytes.
+
+``FusedFoldsPredictor`` is the TPU-native shape of that workflow: the fold
+axis moves INSIDE the chunk program. Frames are uploaded once per chunk; a
+``lax.scan`` over the stacked fold weights replays the exact single-fold
+program body per fold (``ChunkedVideoPredictor._fold_forward_raw`` — parity
+by construction), emitting ``(chunk, folds, classes)`` predictions. Host
+work (decode, pad, upload) and the frame carry are paid once regardless of
+fold count; device compute still scales with folds (each fold runs its own
+encoder — ensembling is extra math, not extra traffic). ``scan`` rather
+than ``vmap`` over the weights keeps per-fold numerics and peak activation
+memory identical to the single-fold engine.
+
+Per-fold outputs are written in the same npz/JSON layout the per-fold loop
+produces, so the downstream ensemble CLI is unchanged.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ball_action_spotting_tpu.predict.streaming import (
+    ChunkedVideoPredictor,
+    load_inference_variables,
+    run_chunk_loop,
+)
+
+
+def _check_compatible(params_a: dict, params_b: dict, path_a, path_b) -> None:
+    """All folds must share the architecture and window geometry — the fused
+    program has one static shape."""
+    for key in ("nn_module", "frame_stack_size", "frame_stack_step",
+                "frames_processor"):
+        a, b = params_a.get(key), params_b.get(key)
+        # checkpoints round-trip tuples as lists; compare canonicalized
+        if _canon(a) != _canon(b):
+            raise ValueError(
+                f"Fused folds require identical {key!r}: "
+                f"{path_a} has {a!r}, {path_b} has {b!r}"
+            )
+
+
+def _canon(obj):
+    if isinstance(obj, (list, tuple)):
+        return tuple(_canon(x) for x in obj)
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _canon(v)) for k, v in obj.items()))
+    return obj
+
+
+class FusedFoldsPredictor(ChunkedVideoPredictor):
+    """Chunked engine over N checkpoints at once (see module docstring).
+
+    ``predict_video`` returns raw predictions of shape
+    ``(num_predictions, num_folds, num_classes)`` — slice ``raw[:, i]`` for
+    fold ``i``; each slice is numerically the single-fold
+    ``ChunkedVideoPredictor`` output for that checkpoint (pinned by
+    ``tests/test_fused_ensemble.py``).
+
+    ``mesh``: same data-axis sharding as the parent (chunk frames and the
+    per-chunk prediction axis shard over ``"data"``; the stacked weights are
+    replicated). The fold loop is sequential per chip — with F folds the
+    program does F× the device compute of one fold, but 1× the host decode
+    and 1× the upload.
+    """
+
+    def __init__(
+        self,
+        checkpoint_paths: Sequence[Path | str],
+        tta: bool = False,
+        use_ema: bool = True,
+        dtype=jnp.bfloat16,
+        fold_bn: bool = True,
+        s2d_stem: bool = False,
+        chunk_size: int = 128,
+        mesh=None,
+    ):
+        paths = [Path(p) for p in checkpoint_paths]
+        if not paths:
+            raise ValueError("checkpoint_paths must name at least one checkpoint")
+        super().__init__(
+            paths[0], tta=tta, use_ema=use_ema, dtype=dtype, fold_bn=fold_bn,
+            s2d_stem=s2d_stem, chunk_size=chunk_size, mesh=mesh,
+        )
+        self.checkpoint_paths = paths
+        self.num_folds = len(paths)
+
+        all_vars = [self.variables]
+        for p in paths[1:]:
+            v, params = load_inference_variables(
+                p, use_ema=use_ema, fold_bn=fold_bn, s2d_stem=s2d_stem
+            )
+            _check_compatible(self.params, params, paths[0], p)
+            all_vars.append(v)
+        # stack every leaf along a leading fold axis; lax.scan slices one
+        # fold's weights per iteration on device
+        stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                               *all_vars)
+
+        assemble = self._assemble_raw
+        fold_forward = self._fold_forward_raw
+
+        def fused_fn(stacked_vars, new_frames_u8, carry_frames_u8):
+            x, new_carry = assemble(new_frames_u8, carry_frames_u8)
+
+            def body(carry, variables):
+                return carry, fold_forward(variables, x)
+
+            _, preds = jax.lax.scan(body, 0, stacked_vars)
+            # (folds, N, classes) → (N, folds, classes): run_chunk_loop
+            # concatenates chunks along axis 0
+            return preds.transpose(1, 0, 2), new_carry
+
+        self._chunk_fn_raw = fused_fn
+        if mesh is None:
+            self.variables = jax.device_put(stacked)
+            self._chunk_fn = jax.jit(fused_fn, donate_argnums=2)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self.variables = jax.device_put(stacked, repl)
+            self._chunk_fn = jax.jit(
+                fused_fn, donate_argnums=2,
+                in_shardings=(repl, self._frames_sharding, self._carry_sharding),
+                out_shardings=(NamedSharding(mesh, P("data")),
+                               self._carry_sharding),
+            )
+
+    def predict_video(
+        self,
+        frames: Iterator[tuple[int, np.ndarray]],
+        frame_count: int,
+    ) -> tuple[list[int], np.ndarray]:
+        """Like the parent, but raw predictions are
+        ``(num_predictions, num_folds, num_classes)``."""
+
+        def put(sharding):
+            def fn(arr):
+                if sharding is not None:
+                    return jax.device_put(arr, sharding)
+                return jax.device_put(arr)
+
+            return fn
+
+        return run_chunk_loop(
+            lambda new, carry: self._chunk_fn(self.variables, new, carry),
+            indexes_generator=self.indexes_generator,
+            chunk_size=self.chunk_size,
+            overlap=self.overlap,
+            image_size=self.image_size,
+            num_classes=(self.num_folds, self.model.num_classes),
+            frames=frames,
+            frame_count=frame_count,
+            put_new=put(self._frames_sharding),
+            put_carry=put(self._carry_sharding),
+        )

@@ -114,3 +114,61 @@ def predict_games(model_path: Path, games: Sequence[str], domain: Domain,
             resolution=resolution, use_saved=use_saved,
             video_info_fn=video_info_fn,
         )
+
+
+def predict_games_fused(
+    fold2model_path: dict, games: Sequence[str], domain: Domain,
+    fold2prediction_dir: dict, tta: bool = False, resolution: str = "720p",
+    video_info_fn=None, data_parallel: int = 1,
+) -> None:
+    """All folds' models over the same games with ONE decode+upload per
+    video (``predict.fused.FusedFoldsPredictor``). Writes the per-fold raw
+    npz + spotting JSONs in exactly the layout the per-fold
+    ``predict_games`` loop produces, so the ensemble CLI
+    (reference ``scripts/ball_action/ensemble.py:38-104``) is unchanged.
+    The reference runs this workflow once per fold
+    (``scripts/ball_action/predict.py:58-80`` × 7 challenge folds)."""
+    from ball_action_spotting_tpu.predict.fused import FusedFoldsPredictor
+
+    folds = sorted(fold2model_path)
+    if sorted(fold2prediction_dir) != folds:
+        raise ValueError("fold2model_path and fold2prediction_dir must "
+                         "cover the same folds")
+    kwargs = {}
+    if data_parallel > 1:
+        from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(data_parallel, 1)
+    predictor = FusedFoldsPredictor(
+        [fold2model_path[f] for f in folds], tta=tta, **kwargs
+    )
+    video_info_fn = video_info_fn or _cached_video_info
+    for game in games:
+        print("Predict game (fused folds):", game)
+        game_dir = domain.soccernet_dir / game
+        fold2half_actions = {fold: {} for fold in folds}
+        for half in domain.halves:
+            video_path = game_dir / f"{half}_{resolution}.mkv"
+            info = video_info_fn(str(video_path))
+            source = open_source(dict(video_path=str(video_path), game=game,
+                                      half=half, **info, frame_index2action={}))
+            try:
+                frame_indexes, raw = predictor.predict_video(
+                    iter_source_frames(source), info["frame_count"]
+                )  # raw: (T, folds, classes)
+            finally:
+                source.close()
+            for i, fold in enumerate(folds):
+                game_pred_dir = fold2prediction_dir[fold] / game
+                game_pred_dir.mkdir(parents=True, exist_ok=True)
+                raw_path = game_pred_dir / f"{half}_raw_predictions.npz"
+                save_raw_predictions(
+                    raw_path, np.asarray(frame_indexes), raw[:, i]
+                )
+                fold2half_actions[fold][half] = raw_predictions_to_actions(
+                    frame_indexes, raw[:, i], domain
+                )
+        for fold in folds:
+            write_game_spotting_results(
+                fold2half_actions[fold], game, fold2prediction_dir[fold], domain
+            )

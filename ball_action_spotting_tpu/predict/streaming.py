@@ -64,6 +64,37 @@ def pad_frame(frame: np.ndarray, image_size) -> np.ndarray:
     return out
 
 
+def load_inference_variables(
+    checkpoint_path: Path | str,
+    use_ema: bool = True,
+    fold_bn: bool = True,
+    s2d_stem: bool = False,
+):
+    """Checkpoint → inference-ready (variables, params): EMA selection,
+    BN folding, optional s2d stem rewrite. The single loading path shared
+    by every predictor (incl. the fused multi-fold engine, which must
+    treat every fold's weights identically to the single-fold engines)."""
+    variables, params = resolve_pretrain_variables(Path(checkpoint_path), use_ema)
+    if fold_bn:
+        # inference-only: absorb BN scale/bias into conv weights
+        # (models/fold_bn.py) — exact up to float rounding
+        from ball_action_spotting_tpu.models.fold_bn import fold_bn_variables
+
+        variables = fold_bn_variables(variables)
+    if s2d_stem:
+        # inference-only: rewrite the k3s2 stem as a k2s1 conv on
+        # space-to-depth input (exact, models/effnetv2.py:128-147) —
+        # Cin goes 3 → 12, filling more of the 128-wide MXU at the
+        # largest spatial resolution
+        from ball_action_spotting_tpu.models.effnetv2 import stem_kernel_to_s2d
+
+        stem = variables["params"]["conv2d_encoder"]["conv_stem"]
+        stem["kernel"] = jnp.asarray(
+            stem_kernel_to_s2d(np.asarray(stem["kernel"]))
+        )
+    return variables, params
+
+
 class PredictorBase:
     def __init__(
         self,
@@ -75,24 +106,9 @@ class PredictorBase:
         s2d_stem: bool = False,
         conv_int8: bool = False,
     ):
-        variables, params = resolve_pretrain_variables(Path(checkpoint_path), use_ema)
-        if fold_bn:
-            # inference-only: absorb BN scale/bias into conv weights
-            # (models/fold_bn.py) — exact up to float rounding
-            from ball_action_spotting_tpu.models.fold_bn import fold_bn_variables
-
-            variables = fold_bn_variables(variables)
-        if s2d_stem:
-            # inference-only: rewrite the k3s2 stem as a k2s1 conv on
-            # space-to-depth input (exact, models/effnetv2.py:128-147) —
-            # Cin goes 3 → 12, filling more of the 128-wide MXU at the
-            # largest spatial resolution
-            from ball_action_spotting_tpu.models.effnetv2 import stem_kernel_to_s2d
-
-            stem = variables["params"]["conv2d_encoder"]["conv_stem"]
-            stem["kernel"] = jnp.asarray(
-                stem_kernel_to_s2d(np.asarray(stem["kernel"]))
-            )
+        variables, params = load_inference_variables(
+            checkpoint_path, use_ema=use_ema, fold_bn=fold_bn, s2d_stem=s2d_stem
+        )
         # pin params on device once — committed host arrays would otherwise
         # re-upload ~28 MB of weights on every jitted call
         variables = jax.device_put(variables)
@@ -258,11 +274,11 @@ class ChunkedVideoPredictor(PredictorBase):
         num_tta = self.num_tta
         tta = self.tta
 
-        def chunk_fn(variables, new_frames_u8, carry_frames_u8):
-            # (N, H, W) u8 + (OV, H, W) u8 → (N, classes) preds, new carry.
-            # Stack/window assembly uses static strided SLICES, not index
-            # gathers — XLA lowers big gathers on TPU to slow per-index
-            # loops, while slice+stack is pure layout work.
+        def assemble(new_frames_u8, carry_frames_u8):
+            # (N, H, W) u8 + (OV, H, W) u8 → normalized stacks + new carry.
+            # Stack assembly uses static strided SLICES, not index gathers —
+            # XLA lowers big gathers on TPU to slow per-index loops, while
+            # slice+stack is pure layout work.
             frames = jnp.concatenate([carry_frames_u8, new_frames_u8], axis=0)
             # stack f's j-th frame is frames[f + j·step] → per-j slices
             stacks = jnp.stack(
@@ -274,6 +290,12 @@ class ChunkedVideoPredictor(PredictorBase):
             # normalize directly in the model's compute dtype (bf16 halves
             # the materialized activation vs f32)
             x = stacks.astype(model.dtype) / 255.0
+            return x, frames[-self.overlap:]
+
+        def fold_forward(variables, x):
+            # normalized stacks → (N, classes) sigmoid preds for ONE set of
+            # model weights (shared by chunk_fn and the fused multi-fold
+            # engine, predict/fused.py — parity by construction)
             feats = model.apply(variables, x, train=False,
                                 method=type(model).forward_2d)
             feats = feats[:, 0]  # (tta*n_stacks, h, w, C)
@@ -290,8 +312,16 @@ class ChunkedVideoPredictor(PredictorBase):
             logits = model.apply(variables, y, train=False,
                                  method=type(model).forward_head)
             preds = jax.nn.sigmoid(logits.astype(jnp.float32))
-            preds = preds.reshape(n, num_tta, -1).mean(axis=1)
-            return preds, frames[-self.overlap:]
+            return preds.reshape(n, num_tta, -1).mean(axis=1)
+
+        def chunk_fn(variables, new_frames_u8, carry_frames_u8):
+            # (N, H, W) u8 + (OV, H, W) u8 → (N, classes) preds, new carry
+            x, new_carry = assemble(new_frames_u8, carry_frames_u8)
+            return fold_forward(variables, x), new_carry
+
+        # shared pieces for the fused multi-fold subclass
+        self._assemble_raw = assemble
+        self._fold_forward_raw = fold_forward
 
         # unjitted program, kept for AOT export (predict/export.py bakes
         # the variables in as constants and re-jits without donation)
@@ -385,14 +415,17 @@ def run_chunk_loop(
 
     ``chunk_call(new_frames_u8, carry_u8) -> (preds, new_carry)`` is the
     device program; ``put_new``/``put_carry`` stage host arrays onto the
-    device (default ``jax.device_put``).
+    device (default ``jax.device_put``). ``preds`` may carry extra trailing
+    dims after the chunk axis (the fused multi-fold engine returns
+    (N, folds, classes)); ``num_classes`` is then the matching tail tuple.
     """
+    pred_tail = num_classes if isinstance(num_classes, tuple) else (num_classes,)
     gen = indexes_generator
     behind = gen.behind
     min_predict = gen.clip_index(0, frame_count, 1)
     max_predict = gen.clip_index(frame_count, frame_count, 1)
     if max_predict < min_predict:  # video shorter than one window
-        return [], np.zeros((0, num_classes), np.float32)
+        return [], np.zeros((0,) + pred_tail, np.float32)
     predict_indexes = list(range(min_predict, max_predict + 1))
     n = chunk_size
     tw, th = image_size

@@ -29,6 +29,12 @@ def parse_arguments():
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="shard the chunked engine over N chips "
                              "(jax.sharding mesh; bit-equal to 1 chip)")
+    parser.add_argument("--fused", action="store_true",
+                        help="challenge mode only: run ALL folds inside one "
+                             "chunk program so each video is decoded and "
+                             "uploaded once instead of once per fold "
+                             "(predict/fused.py); output layout is "
+                             "identical to the per-fold loop")
     return parser.parse_args()
 
 
@@ -55,9 +61,41 @@ def predict_fold(args, fold, domain):
     )
 
 
+def predict_challenge_fused(args, folds, domain):
+    from ball_action_spotting_tpu.predict.pipeline import predict_games_fused
+
+    fold2model, fold2dir = {}, {}
+    for fold in folds:
+        experiment_dir = domain.experiments_dir / args.experiment / f"fold_{fold}"
+        model_path = get_best_checkpoint_path(experiment_dir)
+        if model_path is None:
+            raise FileNotFoundError(f"No checkpoint in {experiment_dir}")
+        fold2model[fold] = model_path
+        fold2dir[fold] = (
+            domain.predictions_dir / args.experiment / "challenge" / f"fold_{fold}"
+        )
+    print(f"Fused challenge predict, folds {folds}, models {fold2model}")
+    predict_games_fused(
+        fold2model, ball.challenge_games, domain, fold2dir, tta=TTA,
+        resolution=RESOLUTION, data_parallel=args.data_parallel,
+    )
+
+
 def main():
     args = parse_arguments()
     folds = ball.folds if args.folds == "all" else [int(f) for f in args.folds.split(",")]
+    if args.fused:
+        if not args.challenge:
+            raise ValueError("--fused requires --challenge (CV folds "
+                             "predict disjoint games; there is no shared "
+                             "decode to fuse)")
+        if args.use_saved_predictions:
+            raise ValueError("--fused re-runs the models; drop "
+                             "--use_saved_predictions")
+        if args.engine != "chunked":
+            raise ValueError("--fused requires the chunked engine")
+        predict_challenge_fused(args, folds, ball.DOMAIN)
+        return
     for fold in folds:
         predict_fold(args, fold, ball.DOMAIN)
 

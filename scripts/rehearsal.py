@@ -60,6 +60,10 @@ def parse_arguments():
     parser.add_argument("--stage_folds", default="all",
                         help="folds to carry through stages 3/4 + ensemble")
     parser.add_argument("--skip_challenge", action="store_true")
+    parser.add_argument("--fused_challenge", action="store_true",
+                        help="run the challenge predict through the fused "
+                             "multi-fold engine (predict.py --fused: one "
+                             "decode+upload per video for ALL folds)")
     return parser.parse_args()
 
 
@@ -89,8 +93,9 @@ def main():
     run("evaluate.py", "--experiment", ens, "--folds", a.stage_folds)
 
     if not a.skip_challenge:
+        fused = ("--fused",) if a.fused_challenge else ()
         run("predict.py", "--experiment", a.stage4, "--challenge",
-            "--folds", a.stage_folds)
+            "--folds", a.stage_folds, *fused)
         run("ensemble.py", "--experiments", a.stage4, "--challenge")
 
     print("rehearsal complete", flush=True)

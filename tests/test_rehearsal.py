@@ -174,7 +174,10 @@ def test_four_stage_rehearsal(workdir):
         [sys.executable, str(REPO / "scripts/rehearsal.py"),
          "--stage1", "tiny_s1", "--stage2", "tiny_a",
          "--stage3", "tiny_s3", "--stage4", "tiny_s4",
-         "--stage_folds", "0"],
+         "--stage_folds", "0",
+         # the challenge leg runs the fused multi-fold engine through the
+         # real CLI (per-fold-loop parity is pinned by test_fused_ensemble)
+         "--fused_challenge"],
         env=env, capture_output=True, text=True, timeout=3000, cwd=str(REPO),
     )
     assert proc.returncode == 0, (
