@@ -76,6 +76,17 @@ class FusedFoldsPredictor(ChunkedVideoPredictor):
     replicated). The fold loop is sequential per chip — with F folds the
     program does F× the device compute of one fold, but 1× the host decode
     and 1× the upload.
+
+    ``fold_parallel=True``: ensemble parallelism — the fold axis becomes a
+    MESH axis instead of a scan. Weights shard over the mesh's ``"model"``
+    axis (folds padded up to a multiple of the axis size by repeating fold
+    0, sliced off after); frames replicate; each chip runs the identical
+    single-fold chunk program on its own folds (``shard_map``, so
+    per-chip numerics are exactly the single-fold engine's — no vmapped-
+    conv lowering risk). A 7-fold challenge predict on an 8-chip host
+    finishes in ~one fold's wall time. Requires ``mesh`` with
+    ``data`` axis size 1 (frames are replicated; a data axis would
+    duplicate work silently — shard over folds OR over frames, not both).
     """
 
     def __init__(
@@ -88,16 +99,21 @@ class FusedFoldsPredictor(ChunkedVideoPredictor):
         s2d_stem: bool = False,
         chunk_size: int = 128,
         mesh=None,
+        fold_parallel: bool = False,
     ):
         paths = [Path(p) for p in checkpoint_paths]
         if not paths:
             raise ValueError("checkpoint_paths must name at least one checkpoint")
+        if fold_parallel and mesh is None:
+            raise ValueError("fold_parallel=True requires mesh= (the fold "
+                             "axis shards over the mesh's 'model' axis)")
         super().__init__(
             paths[0], tta=tta, use_ema=use_ema, dtype=dtype, fold_bn=fold_bn,
             s2d_stem=s2d_stem, chunk_size=chunk_size, mesh=mesh,
         )
         self.checkpoint_paths = paths
         self.num_folds = len(paths)
+        self.fold_parallel = fold_parallel
 
         all_vars = [self.variables]
         for p in paths[1:]:
@@ -106,40 +122,96 @@ class FusedFoldsPredictor(ChunkedVideoPredictor):
             )
             _check_compatible(self.params, params, paths[0], p)
             all_vars.append(v)
-        # stack every leaf along a leading fold axis; lax.scan slices one
-        # fold's weights per iteration on device
-        stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                               *all_vars)
-
         assemble = self._assemble_raw
         fold_forward = self._fold_forward_raw
+        num_folds = self.num_folds
 
-        def fused_fn(stacked_vars, new_frames_u8, carry_frames_u8):
-            x, new_carry = assemble(new_frames_u8, carry_frames_u8)
-
+        def scan_folds(stacked_vars, x):
             def body(carry, variables):
                 return carry, fold_forward(variables, x)
 
             _, preds = jax.lax.scan(body, 0, stacked_vars)
-            # (folds, N, classes) → (N, folds, classes): run_chunk_loop
-            # concatenates chunks along axis 0
-            return preds.transpose(1, 0, 2), new_carry
+            return preds  # (folds, N, classes)
+
+        if not fold_parallel:
+            # stack every leaf along a leading fold axis; lax.scan slices
+            # one fold's weights per iteration on device
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *all_vars)
+
+            def fused_fn(stacked_vars, new_frames_u8, carry_frames_u8):
+                x, new_carry = assemble(new_frames_u8, carry_frames_u8)
+                # (folds, N, classes) → (N, folds, classes): run_chunk_loop
+                # concatenates chunks along axis 0
+                return scan_folds(stacked_vars, x).transpose(1, 0, 2), new_carry
+
+            self._chunk_fn_raw = fused_fn
+            if mesh is None:
+                self.variables = jax.device_put(stacked)
+                self._chunk_fn = jax.jit(fused_fn, donate_argnums=2)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(mesh, P())
+                self.variables = jax.device_put(stacked, repl)
+                self._chunk_fn = jax.jit(
+                    fused_fn, donate_argnums=2,
+                    in_shardings=(repl, self._frames_sharding,
+                                  self._carry_sharding),
+                    out_shardings=(NamedSharding(mesh, P("data")),
+                                   self._carry_sharding),
+                )
+            return
+
+        # fold_parallel: the fold axis shards over the mesh's "model" axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ball_action_spotting_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        if mesh.shape[DATA_AXIS] != 1:
+            raise ValueError(
+                "fold_parallel shards folds over the 'model' axis with "
+                "frames replicated; a data axis > 1 would silently "
+                f"duplicate work (got data={mesh.shape[DATA_AXIS]}). Use "
+                "make_mesh(1, n) — or mesh= without fold_parallel to shard "
+                "frames instead.")
+        n_shards = mesh.shape[MODEL_AXIS]
+        pad = (-num_folds) % n_shards
+        # pad folds to a multiple of the axis by repeating fold 0; padded
+        # rows are sliced off after the shard_map
+        padded = all_vars + [all_vars[0]] * pad
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *padded)
+
+        def shard_body(local_vars, new_frames_u8, carry_frames_u8):
+            # per device: the identical single-fold program over its own
+            # slice of the fold axis (frames replicated)
+            x, new_carry = assemble(new_frames_u8, carry_frames_u8)
+            return scan_folds(local_vars, x), new_carry
+
+        sharded = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(MODEL_AXIS), P(), P()),
+            out_specs=(P(MODEL_AXIS), P()),
+        )
+
+        def fused_fn(stacked_vars, new_frames_u8, carry_frames_u8):
+            preds, new_carry = sharded(stacked_vars, new_frames_u8,
+                                       carry_frames_u8)
+            return preds[:num_folds].transpose(1, 0, 2), new_carry
 
         self._chunk_fn_raw = fused_fn
-        if mesh is None:
-            self.variables = jax.device_put(stacked)
-            self._chunk_fn = jax.jit(fused_fn, donate_argnums=2)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            repl = NamedSharding(mesh, P())
-            self.variables = jax.device_put(stacked, repl)
-            self._chunk_fn = jax.jit(
-                fused_fn, donate_argnums=2,
-                in_shardings=(repl, self._frames_sharding, self._carry_sharding),
-                out_shardings=(NamedSharding(mesh, P("data")),
-                               self._carry_sharding),
-            )
+        fold_sh = NamedSharding(mesh, P(MODEL_AXIS))
+        repl = NamedSharding(mesh, P())
+        self.variables = jax.device_put(stacked, fold_sh)
+        # frames/carry are replicated in this mode (they feed every fold)
+        self._frames_sharding = repl
+        self._carry_sharding = repl
+        self._chunk_fn = jax.jit(
+            fused_fn, donate_argnums=2,
+            in_shardings=(fold_sh, repl, repl),
+            out_shardings=(repl, repl),
+        )
 
     def predict_video(
         self,

@@ -119,7 +119,7 @@ def predict_games(model_path: Path, games: Sequence[str], domain: Domain,
 def predict_games_fused(
     fold2model_path: dict, games: Sequence[str], domain: Domain,
     fold2prediction_dir: dict, tta: bool = False, resolution: str = "720p",
-    video_info_fn=None, data_parallel: int = 1,
+    video_info_fn=None, data_parallel: int = 1, fold_parallel: int = 1,
 ) -> None:
     """All folds' models over the same games with ONE decode+upload per
     video (``predict.fused.FusedFoldsPredictor``). Writes the per-fold raw
@@ -127,18 +127,31 @@ def predict_games_fused(
     ``predict_games`` loop produces, so the ensemble CLI
     (reference ``scripts/ball_action/ensemble.py:38-104``) is unchanged.
     The reference runs this workflow once per fold
-    (``scripts/ball_action/predict.py:58-80`` × 7 challenge folds)."""
+    (``scripts/ball_action/predict.py:58-80`` × 7 challenge folds).
+
+    ``data_parallel=N`` shards each chunk's frames over an (N, 1) mesh;
+    ``fold_parallel=N`` instead shards the FOLDS over a (1, N) mesh
+    (ensemble parallelism — each chip runs different folds). The two are
+    mutually exclusive (one replicates what the other shards)."""
     from ball_action_spotting_tpu.predict.fused import FusedFoldsPredictor
 
     folds = sorted(fold2model_path)
     if sorted(fold2prediction_dir) != folds:
         raise ValueError("fold2model_path and fold2prediction_dir must "
                          "cover the same folds")
+    if data_parallel > 1 and fold_parallel > 1:
+        raise ValueError("data_parallel and fold_parallel are mutually "
+                         "exclusive (shard frames OR folds)")
     kwargs = {}
     if data_parallel > 1:
         from ball_action_spotting_tpu.parallel.mesh import make_mesh
 
         kwargs["mesh"] = make_mesh(data_parallel, 1)
+    elif fold_parallel > 1:
+        from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(1, fold_parallel)
+        kwargs["fold_parallel"] = True
     predictor = FusedFoldsPredictor(
         [fold2model_path[f] for f in folds], tta=tta, **kwargs
     )

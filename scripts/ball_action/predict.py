@@ -35,6 +35,11 @@ def parse_arguments():
                              "uploaded once instead of once per fold "
                              "(predict/fused.py); output layout is "
                              "identical to the per-fold loop")
+    parser.add_argument("--fold_parallel", type=int, default=1,
+                        help="with --fused: shard the folds over N chips "
+                             "(ensemble parallelism — each chip runs "
+                             "different folds; mutually exclusive with "
+                             "--data_parallel)")
     return parser.parse_args()
 
 
@@ -78,12 +83,16 @@ def predict_challenge_fused(args, folds, domain):
     predict_games_fused(
         fold2model, ball.challenge_games, domain, fold2dir, tta=TTA,
         resolution=RESOLUTION, data_parallel=args.data_parallel,
+        fold_parallel=args.fold_parallel,
     )
 
 
 def main():
     args = parse_arguments()
     folds = ball.folds if args.folds == "all" else [int(f) for f in args.folds.split(",")]
+    if args.fold_parallel > 1 and not args.fused:
+        raise ValueError("--fold_parallel shards the FUSED engine's fold "
+                         "axis; add --fused (or use --data_parallel)")
     if args.fused:
         if not args.challenge:
             raise ValueError("--fused requires --challenge (CV folds "

@@ -83,6 +83,51 @@ def test_fused_mesh_matches_unsharded(fold_ckpts):
     np.testing.assert_allclose(s_raw, b_raw, atol=1e-5)
 
 
+def test_fold_parallel_matches_scan(fold_ckpts):
+    """fold_parallel=True (ensemble parallelism: folds sharded over the
+    mesh's model axis via shard_map, 3 folds padded to 4 shards) must
+    reproduce the sequential-scan fused engine."""
+    from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+    base = FusedFoldsPredictor(fold_ckpts, dtype=jnp.float32, chunk_size=16)
+    b_idx, b_raw = base.predict_video(
+        iter_source_frames(SyntheticSource(**SRC_KWARGS)), FRAME_COUNT)
+    par = FusedFoldsPredictor(fold_ckpts, dtype=jnp.float32, chunk_size=16,
+                              mesh=make_mesh(1, 4), fold_parallel=True)
+    p_idx, p_raw = par.predict_video(
+        iter_source_frames(SyntheticSource(**SRC_KWARGS)), FRAME_COUNT)
+    assert list(p_idx) == list(b_idx)
+    assert p_raw.shape == b_raw.shape == (len(b_idx), 3, 2)
+    np.testing.assert_allclose(p_raw, b_raw, atol=1e-6)
+
+
+def test_fold_parallel_exact_shard_count(fold_ckpts):
+    """No padding needed when folds == model-axis size; TTA on."""
+    from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+    base = FusedFoldsPredictor(fold_ckpts[:2], dtype=jnp.float32,
+                               chunk_size=10, tta=True)
+    b_idx, b_raw = base.predict_video(
+        iter_source_frames(SyntheticSource(**SRC_KWARGS)), FRAME_COUNT)
+    par = FusedFoldsPredictor(fold_ckpts[:2], dtype=jnp.float32, chunk_size=10,
+                              tta=True, mesh=make_mesh(1, 2),
+                              fold_parallel=True)
+    p_idx, p_raw = par.predict_video(
+        iter_source_frames(SyntheticSource(**SRC_KWARGS)), FRAME_COUNT)
+    assert list(p_idx) == list(b_idx)
+    np.testing.assert_allclose(p_raw, b_raw, atol=1e-6)
+
+
+def test_fold_parallel_guards(fold_ckpts):
+    from ball_action_spotting_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="requires mesh"):
+        FusedFoldsPredictor(fold_ckpts, fold_parallel=True)
+    with pytest.raises(ValueError, match="data axis"):
+        FusedFoldsPredictor(fold_ckpts, dtype=jnp.float32,
+                            mesh=make_mesh(2, 2), fold_parallel=True)
+
+
 def test_single_checkpoint_fold_axis(fold_ckpts):
     fused = FusedFoldsPredictor(fold_ckpts[:1], dtype=jnp.float32, chunk_size=10)
     idx, raw = fused.predict_video(
@@ -128,6 +173,7 @@ def test_cli_fused_flag_validation(monkeypatch):
           "--use_saved_predictions"], "use_saved_predictions"),
         (["--experiment", "x", "--fused", "--challenge",
           "--engine", "streaming"], "chunked engine"),
+        (["--experiment", "x", "--fold_parallel", "2"], "add --fused"),
     ]
     for argv, match in cases:
         monkeypatch.setattr(_sys, "argv", ["predict.py"] + argv)
@@ -212,6 +258,14 @@ def test_pipeline_fused_matches_per_fold_loop(challenge_env):
         tta=False, video_info_fn=fake_info,
     )
 
+    # and the fold-parallel variant (folds over a (1, 2) mesh)
+    fp_root = tmp_path / "fold_par"
+    predict_games_fused(
+        ckpts, games, domain,
+        {f: fp_root / f"fold_{f}" for f in ckpts},
+        tta=False, video_info_fn=fake_info, fold_parallel=2,
+    )
+
     for fold in ckpts:
         for game in games:
             for half in (1, 2):
@@ -221,6 +275,9 @@ def test_pipeline_fused_matches_per_fold_loop(challenge_env):
                         a["frame_indexes"], b["frame_indexes"])
                     np.testing.assert_allclose(
                         a["raw_predictions"], b["raw_predictions"], atol=2e-3)
+                with np.load(fused_root / rel) as a, np.load(fp_root / rel) as b:
+                    np.testing.assert_allclose(
+                        a["raw_predictions"], b["raw_predictions"], atol=2e-3)
             rel = f"fold_{fold}/{game}/results_spotting.json"
             loop_json = json.loads((loop_root / rel).read_text())
             fused_json = json.loads((fused_root / rel).read_text())
@@ -228,3 +285,15 @@ def test_pipeline_fused_matches_per_fold_loop(challenge_env):
                 p["label"] for p in fused_json["predictions"]]
             assert [p["position"] for p in loop_json["predictions"]] == [
                 p["position"] for p in fused_json["predictions"]]
+
+
+def test_pipeline_fused_parallel_modes_exclusive(challenge_env):
+    from ball_action_spotting_tpu.predict.pipeline import predict_games_fused
+
+    domain, ckpts, fake_info, tmp_path = challenge_env
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        predict_games_fused(
+            ckpts, [GAME_A], domain,
+            {f: tmp_path / "x" / f"fold_{f}" for f in ckpts},
+            video_info_fn=fake_info, data_parallel=2, fold_parallel=2,
+        )
