@@ -31,6 +31,7 @@ divergence).
 from __future__ import annotations
 
 import json
+import zipfile
 from pathlib import Path
 from typing import Mapping, Optional, Sequence
 
@@ -177,6 +178,23 @@ def average_map(
     return a_map, a_map_per_class
 
 
+def read_game_json(root: Path, relpath: str) -> dict:
+    """Read ``<root>/<relpath>`` where ``root`` is a directory OR a zip
+    archive. The reference evaluator accepts zipped label sets and zipped
+    prediction sets via ``LoadJsonFromZip`` (``/root/reference/src/
+    evaluate.py:54-82``); this is the equivalent for both loaders here.
+    Zip members may be stored with or without a leading ``./``."""
+    root = Path(root)
+    if root.is_file() and zipfile.is_zipfile(root):
+        with zipfile.ZipFile(root) as zf:
+            names = set(zf.namelist())
+            for cand in (relpath, f"./{relpath}"):
+                if cand in names:
+                    return json.loads(zf.read(cand))
+            raise FileNotFoundError(f"{relpath!r} not found in archive {root}")
+    return json.loads((root / relpath).read_text())
+
+
 def evaluate_games(
     soccernet_dir: Path,
     predictions_dir: Path,
@@ -201,13 +219,11 @@ def evaluate_games(
     loaded = []
     any_visibility = False
     for game in games:
-        labels = json.loads((Path(soccernet_dir) / game / domain.label_file).read_text())
+        labels = read_game_json(soccernet_dir, f"{game}/{domain.label_file}")
         any_visibility = any_visibility or any(
             "visibility" in a for a in labels["annotations"]
         )
-        preds = json.loads(
-            (Path(predictions_dir) / game / prediction_file).read_text()
-        )
+        preds = read_game_json(predictions_dir, f"{game}/{prediction_file}")
         loaded.append((labels, preds))
 
     results = {

@@ -45,12 +45,19 @@ def _budget_left() -> float:
     return _BUDGET - (time.perf_counter() - _T0)
 
 
+# BENCH_ARCH swaps the encoder (e.g. the tests' tiny arch) so the bench
+# paths themselves are smoke-testable on CPU; the driver default is the
+# flagship b0.
+def _arch() -> str:
+    return os.environ.get("BENCH_ARCH", "tf_efficientnetv2_b0.in1k")
+
+
 def _flagship_params(width: int, height: int) -> dict:
     return {
         "nn_module": (
             "multidim_stacker",
             dict(
-                model_name="tf_efficientnetv2_b0.in1k",
+                model_name=_arch(),
                 num_classes=2, num_frames=15, stack_size=3, index_2d_features=4,
                 num_3d_blocks=4, num_3d_features=192, expansion_3d_ratio=3,
                 se_reduce_3d_ratio=24, num_3d_stack_proj=256,
@@ -71,7 +78,7 @@ def _write_ckpt(tmp: str, width: int, height: int) -> Path:
     from ball_action_spotting_tpu.train.checkpoint import save_checkpoint
     from __graft_entry__ import _flagship
 
-    model = _flagship(jnp.bfloat16)
+    model = _flagship(jnp.bfloat16, model_name=_arch())
     x0 = jnp.zeros((1, 15, 64, 96), jnp.float32)
     # jit the init: eager per-op dispatch is pathological on remote TPU
     variables = jax.jit(
@@ -101,7 +108,7 @@ def bench_train() -> dict:
     height, width = (736, 1280) if on_tpu else (64, 96)
     steps = int(os.environ.get("BENCH_STEPS", 10 if on_tpu else 2))
 
-    model = _flagship(jnp.bfloat16)
+    model = _flagship(jnp.bfloat16, model_name=_arch())
     variables = jax.jit(
         lambda r: model.init({"params": r}, jnp.zeros((1, 15, 64, 96), jnp.float32),
                              train=False)

@@ -5,8 +5,6 @@ import pytest
 
 from ball_action_spotting_tpu.models import build_model
 from ball_action_spotting_tpu.models.effnetv2 import (
-    EFFNETV2_ARCHS,
-    BlockDef,
     EfficientNetV2Features,
     resolve_arch,
     round_channels,
@@ -15,19 +13,10 @@ from ball_action_spotting_tpu.models.blocks3d import GeneralizedMeanPooling
 from ball_action_spotting_tpu.models.multidim_stacker import MultiDimStacker
 
 # A tiny arch so tests compile fast on single-core CPU; same stage kinds and
-# 5 feature taps as the real b0.
-EFFNETV2_ARCHS["efficientnetv2_test"] = (
-    8,
-    (
-        BlockDef("cn", 1, 3, 1, 1, 8),
-        BlockDef("er", 1, 3, 2, 2, 8),
-        BlockDef("er", 1, 3, 2, 2, 16),
-        BlockDef("ir", 1, 3, 2, 2, 16, 0.25),
-        BlockDef("ir", 1, 3, 2, 2, 24, 0.25),
-    ),
-    1.0,
-    1.0,
-)
+# 5 feature taps as the real b0 (tests/tiny_arch.py).
+from tests.tiny_arch import register_tiny_arch
+
+register_tiny_arch()
 
 
 def tiny_stacker(**kwargs):
