@@ -63,7 +63,9 @@ def export_chunked_predictor(
         )
     tw, th = predictor.image_size
     variables = predictor.variables
-    raw_fn = predictor._chunk_fn_raw
+    # the frame-carry program: a feature-carry predictor still exports the
+    # single-program engine (outputs are pinned equal)
+    raw_fn = getattr(predictor, "_export_fn_raw", None) or predictor._chunk_fn_raw
 
     fn = jax.jit(lambda new, carry: raw_fn(variables, new, carry))
     args = (

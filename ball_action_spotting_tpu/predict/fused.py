@@ -110,6 +110,9 @@ class FusedFoldsPredictor(ChunkedVideoPredictor):
         super().__init__(
             paths[0], tta=tta, use_ema=use_ema, dtype=dtype, fold_bn=fold_bn,
             s2d_stem=s2d_stem, chunk_size=chunk_size, mesh=mesh,
+            # the fused engine builds its own frame-carry chunk program
+            # below; the parent's feature-carry variant is unused here
+            carry_features=False,
         )
         self.checkpoint_paths = paths
         self.num_folds = len(paths)
@@ -146,6 +149,7 @@ class FusedFoldsPredictor(ChunkedVideoPredictor):
                 return scan_folds(stacked_vars, x).transpose(1, 0, 2), new_carry
 
             self._chunk_fn_raw = fused_fn
+            self._export_fn_raw = fused_fn  # fused programs export as-is
             if mesh is None:
                 self.variables = jax.device_put(stacked)
                 self._chunk_fn = jax.jit(fused_fn, donate_argnums=2)
@@ -201,6 +205,7 @@ class FusedFoldsPredictor(ChunkedVideoPredictor):
             return preds[:num_folds].transpose(1, 0, 2), new_carry
 
         self._chunk_fn_raw = fused_fn
+        self._export_fn_raw = fused_fn  # fused programs export as-is
         fold_sh = NamedSharding(mesh, P(MODEL_AXIS))
         repl = NamedSharding(mesh, P())
         self.variables = jax.device_put(stacked, fold_sh)

@@ -155,7 +155,7 @@ def _time_chunks(predictor, chunk_size: int, num_chunks: int,
     new_frames = jax.device_put(
         rng.integers(0, 255, (chunk_size, height, width), dtype=np.uint8)
     )
-    carry = jax.device_put(
+    carry = predictor.init_carry(
         rng.integers(0, 255, (predictor.overlap, height, width), dtype=np.uint8)
     )
     # Warmup/compile. carry is donated, so rethread it each call.
@@ -187,6 +187,7 @@ def bench_infer() -> dict:
         predictor = ChunkedVideoPredictor(
             ckpt, tta=False, dtype=jnp.bfloat16, chunk_size=chunk_size,
             s2d_stem=os.environ.get("BENCH_S2D", "0") == "1",
+            carry_features=os.environ.get("BENCH_CARRYF", "1") == "1",
         )
         fps = _time_chunks(predictor, chunk_size, num_chunks, height, width)
         extra = {}
