@@ -391,6 +391,9 @@ class ChunkedVideoPredictor(PredictorBase):
 
         # shared pieces for the fused multi-fold subclass
         self._assemble_raw = assemble
+        self._assemble_new_raw = assemble_new
+        self._encode_2d_raw = encode_2d
+        self._head_from_feats_raw = head_from_feats
         self._fold_forward_raw = fold_forward
 
         active_fn = chunk_fn_feats if carry_features else chunk_fn

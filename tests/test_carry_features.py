@@ -55,6 +55,25 @@ def test_carry_features_rejects_spatial(ckpt_path):  # noqa: F811
                               carry_features=True)
 
 
+def test_fused_carry_features_matches_frame_carry(ckpt_path):  # noqa: F811
+    """The fused multi-fold engine's feature-carry default equals its
+    frame-carry program (two folds sharing one checkpoint suffice — the
+    carry plumbing, not the weights, is under test)."""
+    from ball_action_spotting_tpu.predict.fused import FusedFoldsPredictor
+
+    base = FusedFoldsPredictor([ckpt_path, ckpt_path], dtype=jnp.float32,
+                               chunk_size=10, carry_features=False)
+    b_idx, b_raw = base.predict_video(
+        iter_source_frames(SyntheticSource(**SRC_KWARGS)), FRAME_COUNT)
+    fc = FusedFoldsPredictor([ckpt_path, ckpt_path], dtype=jnp.float32,
+                             chunk_size=10)
+    assert fc.carry_features
+    c_idx, c_raw = fc.predict_video(
+        iter_source_frames(SyntheticSource(**SRC_KWARGS)), FRAME_COUNT)
+    assert list(c_idx) == list(b_idx)
+    np.testing.assert_allclose(c_raw, b_raw, atol=1e-6)
+
+
 def test_default_is_carry_features(ckpt_path):  # noqa: F811
     assert ChunkedVideoPredictor(ckpt_path, dtype=jnp.float32,
                                  chunk_size=10).carry_features
