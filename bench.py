@@ -179,8 +179,12 @@ def bench_infer() -> dict:
 
     on_tpu = jax.default_backend() == "tpu"
     height, width = (736, 1280) if on_tpu else (64, 96)
-    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
-    num_chunks = int(os.environ.get("BENCH_CHUNKS", 12 if on_tpu else 2))
+    # chunk 128 is the measured sweet spot for the feature-carry engine
+    # (956 vs 929 fps at 256 and 918 at 512 on the v5e, repeats within
+    # ±0.5 fps); 256 was the frame-carry engine's optimum — its ~9%
+    # overlap re-encode amortized with N, which feature-carry eliminated.
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 24 if on_tpu else 2))
 
     with tempfile.TemporaryDirectory() as tmp:
         ckpt = _write_ckpt(tmp, width, height)
@@ -239,8 +243,8 @@ def bench_int8() -> dict:
 
     on_tpu = jax.default_backend() == "tpu"
     height, width = (736, 1280) if on_tpu else (64, 96)
-    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
-    num_chunks = int(os.environ.get("BENCH_CHUNKS", 12 if on_tpu else 2))
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 24 if on_tpu else 2))
 
     rng = np.random.default_rng(0)
     new_frames = jax.device_put(
@@ -256,8 +260,10 @@ def bench_int8() -> dict:
                 conv_int8=flag)
             fps[name] = round(_time_chunks(
                 predictor, chunk_size, num_chunks, height, width), 2)
-            # same fixed input for the delta check
-            carry = jax.device_put(np.zeros(
+            # same fixed input for the delta check (init_carry builds the
+            # bootstrap (frame-tail, feature-tail) carry when the default
+            # carry_features engine is active)
+            carry = predictor.init_carry(np.zeros(
                 (predictor.overlap, height, width), np.uint8))
             preds, _ = predictor._chunk_fn(predictor.variables, new_frames,
                                            carry)
@@ -303,8 +309,8 @@ def bench_serve() -> dict:
     height, width = (736, 1280) if on_tpu else (64, 96)
     tta = os.environ.get("BENCH_TTA", "1" if on_tpu else "0") == "1"
     ticks = int(os.environ.get("BENCH_TICKS", 24 if on_tpu else 8))
-    chunk_size = int(os.environ.get("BENCH_CHUNK", 256 if on_tpu else 16))
-    num_chunks = int(os.environ.get("BENCH_CHUNKS", 8 if on_tpu else 2))
+    chunk_size = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 16))
+    num_chunks = int(os.environ.get("BENCH_CHUNKS", 16 if on_tpu else 2))
     sweep = [int(k) for k in os.environ.get(
         "BENCH_STREAMS", "8,16" if on_tpu else "2,4").split(",")]
 
