@@ -28,6 +28,9 @@ jitted step with on-device augmentation; baseline ~14 samples/s = the
 reference's 3090 Ti 7-minute epochs, README.md:133-134).
 ``BENCH_METRIC=serve`` → multi-stream serving capacity: max concurrent
 25-fps streams per chip at realtime + per-tick latency (see bench_serve).
+``BENCH_METRIC=coldstart`` → process start → first prediction, in fresh
+subprocesses, for cold JIT vs warm persistent compile cache vs sealed AOT
+artifact (see bench_coldstart).
 """
 
 import json
@@ -382,6 +385,142 @@ def bench_serve() -> dict:
     }
 
 
+def coldstart_child(mode: str, ckpt: str, artifact: str, cache_dir: str) -> None:
+    """One serving cold-start, measured from OUTSIDE: the parent times this
+    whole process (interpreter + jax import + backend init + compile/load +
+    first prediction). Prints a marker after the first prediction reaches
+    the host, then exits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if mode == "cache":
+        from ball_action_spotting_tpu.utils.platform import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(cache_dir, min_compile_time_secs=0.0)
+
+    if mode == "aot":
+        from ball_action_spotting_tpu.predict.export import (
+            ExportedChunkPredictor,
+        )
+
+        p = ExportedChunkPredictor(artifact)
+        w, h = p.image_size
+        preds, _ = p._call(
+            np.zeros((p.chunk_size, h, w), np.uint8),
+            np.zeros((p.overlap, h, w), np.uint8),
+        )
+    else:  # "jit" / "cache": the live engine from a checkpoint
+        if _arch() == "efficientnetv2_test":  # CPU smoke tests
+            from tests.tiny_arch import register_tiny_arch
+
+            register_tiny_arch()
+        from ball_action_spotting_tpu.predict.streaming import (
+            ChunkedVideoPredictor,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        chunk = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 8))
+        p = ChunkedVideoPredictor(Path(ckpt), tta=False, dtype=jnp.bfloat16,
+                                  chunk_size=chunk)
+        w, h = p.image_size
+        carry = p.init_carry(np.zeros((p.overlap, h, w), np.uint8))
+        preds, _ = p._chunk_fn(
+            p.variables, jax.device_put(np.zeros((chunk, h, w), np.uint8)),
+            carry,
+        )
+    np.asarray(preds)  # host sync = "first prediction served"
+    print("FIRST_PRED_OK", flush=True)
+
+
+def _coldstart_child_env() -> dict:
+    """Children inherit the real backend; under a CPU test harness, pin the
+    children to CPU too (mirrors tests/jax_env.py — sitecustomize would
+    otherwise register the remote-TPU plugin in every child)."""
+    import jax
+
+    env = dict(os.environ)
+    if jax.default_backend() != "tpu":
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run_coldstart_child(mode: str, ckpt, artifact, cache_dir, env) -> float:
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--coldstart-child",
+           mode, str(ckpt), str(artifact or ""), str(cache_dir or "")]
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True,
+        timeout=float(os.environ.get("BENCH_CS_TIMEOUT", 1800)),
+    )
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0 or "FIRST_PRED_OK" not in proc.stdout:
+        raise RuntimeError(
+            f"coldstart child {mode!r} failed (rc={proc.returncode}): "
+            f"{proc.stderr[-2000:]}"
+        )
+    print(f"# coldstart {mode}: {dt:.1f}s", file=sys.stderr, flush=True)
+    return dt
+
+
+def bench_coldstart() -> dict:
+    """Serving cold-start end to end (VERDICT r3 Next #7): wall time from
+    process start to the first prediction on the host, for the three
+    serving paths — cold JIT compile, warm persistent compile cache
+    (``utils/platform.py::enable_compilation_cache``), and the sealed AOT
+    ``jax.export`` artifact (``predict/export.py``). Each path runs in a
+    fresh subprocess so interpreter + jax import + backend init are paid
+    (and measured) every time, exactly as a restarted serving process
+    would. Reference serving shape: reference ``src/predictors.py:51-75``
+    (torch checkpoint load + first CUDA forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ball_action_spotting_tpu.predict.export import export_chunked_predictor
+    from ball_action_spotting_tpu.predict.streaming import ChunkedVideoPredictor
+
+    on_tpu = jax.default_backend() == "tpu"
+    height, width = (736, 1280) if on_tpu else (64, 96)
+    chunk = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 8))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = _write_ckpt(tmp, width, height)
+        predictor = ChunkedVideoPredictor(ckpt, tta=False, dtype=jnp.bfloat16,
+                                          chunk_size=chunk)
+        artifact = export_chunked_predictor(
+            predictor, Path(tmp) / "chunk.baxp",
+            platforms=("cpu", "tpu") if on_tpu else ("cpu",),
+        )
+        del predictor
+        env = _coldstart_child_env()
+        cache_dir = Path(tmp) / "xla_cache"
+        cold = _run_coldstart_child("jit", ckpt, "", "", env)
+        _run_coldstart_child("cache", ckpt, "", cache_dir, env)  # populate
+        warm = _run_coldstart_child("cache", ckpt, "", cache_dir, env)
+        aot = _run_coldstart_child("aot", ckpt, artifact, "", env)
+
+    return {
+        "metric": "serving_coldstart_seconds",
+        "value": round(aot, 1),
+        "unit": "s, process start -> first prediction (sealed AOT artifact)",
+        # headline ratio: how much of the cold-JIT start the artifact saves
+        "vs_baseline": round(cold / aot, 2),
+        "extra": {
+            "cold_jit_s": round(cold, 1),
+            "warm_cache_s": round(warm, 1),
+            "aot_artifact_s": round(aot, 1),
+            "note": "vs_baseline = cold_jit_s / aot_artifact_s (speedup of "
+                    "the sealed artifact over an uncached process start)",
+        },
+    }
+
+
 def _device_init_watchdog(timeout_s: float):
     """Backend init through the axon tunnel can hang INDEFINITELY when the
     remote pool's grant is wedged (observed 2026-08-17: ``jax.devices()``
@@ -407,6 +546,9 @@ def _device_init_watchdog(timeout_s: float):
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--coldstart-child":
+        coldstart_child(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+        return
     done = _device_init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
     import jax
 
@@ -419,6 +561,8 @@ def main() -> None:
         print(json.dumps(bench_serve()))
     elif metric == "int8":
         print(json.dumps(bench_int8()))
+    elif metric == "coldstart":
+        print(json.dumps(bench_coldstart()))
     else:
         print(json.dumps(bench_infer()))
 

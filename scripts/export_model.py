@@ -29,8 +29,11 @@ def parse_arguments():
                         help="bake hflip TTA into the program (the ball "
                              "recipe's serving default)")
     parser.add_argument("--chunk_size", type=int, default=256,
-                        help="predictions per chunk program (256 = the "
-                             "measured v5e sweet spot)")
+                        help="predictions per chunk program. AOT export "
+                             "always seals the frame-carry program "
+                             "(feature carry needs live model code), whose "
+                             "measured v5e sweet spot is 256; the live "
+                             "feature-carry engine's default is 128")
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--platforms", default="cpu,tpu",

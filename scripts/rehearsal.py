@@ -31,6 +31,7 @@ with tiny configs.
 """
 
 import argparse
+import importlib.util
 import subprocess
 import sys
 from pathlib import Path
@@ -38,10 +39,45 @@ from pathlib import Path
 SCRIPTS = Path(__file__).resolve().parent
 
 
-def run(script: str, *args: str, domain: str = "ball_action") -> None:
+def run_subprocess(script: str, *args: str, domain: str = "ball_action") -> None:
     cmd = [sys.executable, str(SCRIPTS / domain / script), *args]
     print("+", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
+
+
+_MODULES: dict = {}
+
+
+def run_in_process(script: str, *args: str, domain: str = "ball_action") -> None:
+    """Import the CLI module and call its ``main()`` with a patched argv.
+
+    One process for the whole chain = one jit cache: every later stage
+    reuses the earlier stages' compiled programs. This is what makes the
+    rehearsal practical where per-process compiles are expensive — the
+    single-core CPU test host (each subprocess recompiles the tiny model)
+    and the real TPU (first compile per process is 20-160 s through the
+    backend). The subprocess mode stays the default: it additionally
+    proves each CLI works as its own entry point.
+    """
+    path = SCRIPTS / domain / script
+    key = (domain, script)
+    if key not in _MODULES:
+        spec = importlib.util.spec_from_file_location(
+            f"_rehearsal_{domain}_{script.removesuffix('.py')}", path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _MODULES[key] = mod
+    print("+ [in-process]", str(path), " ".join(args), flush=True)
+    old_argv = sys.argv
+    sys.argv = [str(path), *args]
+    try:
+        _MODULES[key].main()
+    finally:
+        sys.argv = old_argv
+
+
+run = run_subprocess
 
 
 def parse_arguments():
@@ -64,11 +100,19 @@ def parse_arguments():
                         help="run the challenge predict through the fused "
                              "multi-fold engine (predict.py --fused: one "
                              "decode+upload per video for ALL folds)")
+    parser.add_argument("--in_process", action="store_true",
+                        help="call each CLI's main() in THIS process "
+                             "instead of a subprocess (one shared jit "
+                             "cache: minutes instead of tens of minutes "
+                             "on hosts where per-process compiles are "
+                             "expensive, e.g. the TPU backend)")
     return parser.parse_args()
 
 
 def main():
+    global run
     a = parse_arguments()
+    run = run_in_process if a.in_process else run_subprocess
 
     # stage 1: train all folds, then out-of-fold predictions for every game
     run("train.py", "--experiment", a.stage1, "--folds", a.folds)

@@ -52,6 +52,15 @@ def test_bench_train():
 
 
 @pytest.mark.slow
+def test_bench_coldstart():
+    result = bench.bench_coldstart()
+    _check_line(result)
+    extra = result["extra"]
+    for key in ("cold_jit_s", "warm_cache_s", "aot_artifact_s"):
+        assert isinstance(extra[key], float) and extra[key] > 0
+
+
+@pytest.mark.slow
 def test_bench_int8():
     result = bench.bench_int8()
     _check_line(result)

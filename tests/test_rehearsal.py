@@ -85,9 +85,7 @@ config = dict(
 '''
 
 
-@pytest.fixture(scope="module")
-def workdir(tmp_path_factory):
-    wd = tmp_path_factory.mktemp("rehearsal_wd")
+def _build_workdir(wd):
     cfg_dir = wd / "configs/ball_action"
     cfg_dir.mkdir(parents=True)
     (cfg_dir / "tiny_s1.py").write_text(_config(6, 2))
@@ -161,8 +159,17 @@ def workdir(tmp_path_factory):
     return wd
 
 
-@pytest.mark.slow
-def test_four_stage_rehearsal(workdir):
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return _build_workdir(tmp_path_factory.mktemp("rehearsal_wd"))
+
+
+@pytest.fixture()
+def workdir_fast(tmp_path_factory):
+    return _build_workdir(tmp_path_factory.mktemp("rehearsal_fast_wd"))
+
+
+def _run_rehearsal(workdir, *extra_args, timeout):
     from tests.jax_env import cpu_subprocess_env
 
     env = cpu_subprocess_env(
@@ -177,11 +184,46 @@ def test_four_stage_rehearsal(workdir):
          "--stage_folds", "0",
          # the challenge leg runs the fused multi-fold engine through the
          # real CLI (per-fold-loop parity is pinned by test_fused_ensemble)
-         "--fused_challenge"],
-        env=env, capture_output=True, text=True, timeout=3000, cwd=str(REPO),
+         "--fused_challenge", *extra_args],
+        env=env, capture_output=True, text=True, timeout=timeout,
+        cwd=str(REPO),
     )
     assert proc.returncode == 0, (
         f"rehearsal failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}")
+    return proc
+
+
+def test_four_stage_rehearsal_fast(workdir_fast):
+    """Fast tier (VERDICT r3 Next #8): the same 4-stage chain in ONE
+    process (``--in_process``), so every stage shares one jit cache —
+    covers all the cross-stage contracts in minutes instead of ~19.
+    The slow tier below additionally proves each CLI as its own entry
+    point (subprocess per step)."""
+    workdir = workdir_fast
+    proc = _run_rehearsal(workdir, "--in_process", timeout=1200)
+    assert "Load pretrain model" in proc.stdout
+
+    exp = workdir / "data/ball_action/experiments"
+    preds = workdir / "data/ball_action/predictions"
+    for fold in ball.folds:
+        assert list((exp / "tiny_s1" / f"fold_{fold}").glob("*.ckpt"))
+        game = ball.fold2games[fold][0]
+        assert (preds / "tiny_s1/cv" / f"fold_{fold}" / game /
+                "1_raw_predictions.npz").exists()
+    assert list((workdir / "data/action/experiments/tiny_a").glob("*.ckpt"))
+    assert list((exp / "tiny_s3/fold_0").glob("*.ckpt"))
+    assert list((exp / "tiny_s4/fold_0").glob("*.ckpt"))
+    ens = preds / "tiny_s3,tiny_s4/cv/fold_0"
+    results = json.loads((ens / "evaluate_results.json").read_text())
+    assert 0.0 <= results["a_mAP"] <= 1.0
+    for game in ball.challenge_games:
+        assert (preds / "tiny_s4/challenge/ensemble" / game /
+                "results_spotting.json").exists()
+
+
+@pytest.mark.slow
+def test_four_stage_rehearsal(workdir):
+    proc = _run_rehearsal(workdir, timeout=3000)
 
     exp = workdir / "data/ball_action/experiments"
     preds = workdir / "data/ball_action/predictions"
