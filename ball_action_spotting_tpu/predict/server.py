@@ -341,7 +341,14 @@ def main(argv: Optional[list[str]] = None) -> None:
     import argparse
 
     from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+    from ball_action_spotting_tpu.utils.platform import (
+        maybe_enable_compilation_cache_from_env,
+    )
 
+    # BAS_TPU_COMPILE_CACHE=dir: serving restarts read compiled programs
+    # from disk (49.7 -> 13.4 s to first prediction on the v5e,
+    # BENCH_COLDSTART_r04.json)
+    maybe_enable_compilation_cache_from_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--host", default="0.0.0.0")

@@ -96,3 +96,16 @@ def enable_compilation_cache(
         "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
     )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def maybe_enable_compilation_cache_from_env() -> bool:
+    """Enable the persistent compile cache when ``BAS_TPU_COMPILE_CACHE``
+    names a directory. Called by the serving/predict CLIs so production
+    process restarts pay a disk read instead of the backend compile —
+    measured on the v5e: cold start 49.7 s → 13.4 s warm
+    (BENCH_COLDSTART_r04.json). Returns True when enabled."""
+    cache_dir = os.environ.get("BAS_TPU_COMPILE_CACHE")
+    if not cache_dir:
+        return False
+    enable_compilation_cache(cache_dir)
+    return True

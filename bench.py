@@ -493,9 +493,12 @@ def bench_coldstart() -> dict:
         ckpt = _write_ckpt(tmp, width, height)
         predictor = ChunkedVideoPredictor(ckpt, tta=False, dtype=jnp.bfloat16,
                                           chunk_size=chunk)
+        # single-platform export: the artifact is replayed on THIS backend,
+        # and the TPU chunk program contains Pallas kernels (GeM) that
+        # cannot lower for the cpu platform
         artifact = export_chunked_predictor(
             predictor, Path(tmp) / "chunk.baxp",
-            platforms=("cpu", "tpu") if on_tpu else ("cpu",),
+            platforms=("tpu",) if on_tpu else ("cpu",),
         )
         del predictor
         env = _coldstart_child_env()

@@ -12,6 +12,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from ball_action_spotting_tpu.domains import action
 from ball_action_spotting_tpu.predict.pipeline import predict_games
 from ball_action_spotting_tpu.train.checkpoint import get_best_checkpoint_path
+from ball_action_spotting_tpu.utils.platform import (
+    maybe_enable_compilation_cache_from_env,
+)
 
 RESOLUTION = "720p"
 TTA = False
@@ -32,6 +35,7 @@ def parse_arguments():
 
 
 def main():
+    maybe_enable_compilation_cache_from_env()  # BAS_TPU_COMPILE_CACHE
     args = parse_arguments()
     domain = action.DOMAIN
     experiment_dir = domain.experiments_dir / args.experiment

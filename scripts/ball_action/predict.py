@@ -13,6 +13,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from ball_action_spotting_tpu.domains import ball
 from ball_action_spotting_tpu.predict.pipeline import predict_games
 from ball_action_spotting_tpu.train.checkpoint import get_best_checkpoint_path
+from ball_action_spotting_tpu.utils.platform import (
+    maybe_enable_compilation_cache_from_env,
+)
 
 RESOLUTION = "720p"
 TTA = True
@@ -88,6 +91,7 @@ def predict_challenge_fused(args, folds, domain):
 
 
 def main():
+    maybe_enable_compilation_cache_from_env()  # BAS_TPU_COMPILE_CACHE
     args = parse_arguments()
     folds = ball.folds if args.folds == "all" else [int(f) for f in args.folds.split(",")]
     if args.fold_parallel > 1 and not args.fused:

@@ -106,3 +106,25 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_compilation_cache_dir", before_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_compile_cache_env_hook(tmp_path, monkeypatch):
+    """BAS_TPU_COMPILE_CACHE wires the persistent cache into the serving
+    CLIs (the measured 49.7 -> 13.4 s cold-start lever)."""
+    import jax
+
+    from ball_action_spotting_tpu.utils.platform import (
+        maybe_enable_compilation_cache_from_env,
+    )
+
+    before_dir = jax.config.jax_compilation_cache_dir
+    monkeypatch.delenv("BAS_TPU_COMPILE_CACHE", raising=False)
+    assert maybe_enable_compilation_cache_from_env() is False
+    try:
+        monkeypatch.setenv("BAS_TPU_COMPILE_CACHE", str(tmp_path / "c"))
+        assert maybe_enable_compilation_cache_from_env() is True
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c")
+        assert (tmp_path / "c").is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
