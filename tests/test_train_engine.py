@@ -130,3 +130,45 @@ def test_freeze_conv2d_encoder(tmp_path, loaders):
     head_after = np.asarray(trainer.state.params["classifier"]["kernel"])
     np.testing.assert_array_equal(before, after)  # frozen
     assert not np.allclose(head_before, head_after)  # trainable
+
+
+def test_freeze_conv2d_encoder_dces_encoder_backward():
+    """The optax ``set_to_zero`` freeze mask must let XLA dead-code-eliminate
+    the frozen encoder's ENTIRE backward (torch ``requires_grad=False`` cost
+    parity, reference configs/ball_action/ball_finetune_long_004.py:20) —
+    nothing in the step may consume the frozen grads' values. Pinned via
+    compiled-program FLOPs: measured ratio ~0.41 on the tiny arch; a future
+    aux change (e.g. grad-norm logging) would push it back toward 1.0."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_models import tiny_stacker
+    from ball_action_spotting_tpu.ops.focal_loss import FocalLoss
+    from ball_action_spotting_tpu.train.optim import build_optimizer
+    from ball_action_spotting_tpu.train.state import TrainState
+    from ball_action_spotting_tpu.train.steps import make_train_step
+
+    model = tiny_stacker(drop_rate=0.0, drop_path_rate=0.0, dtype=jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 6, 32, 48), jnp.float32), train=False,
+    )
+    frames = jnp.zeros((2, 6, 32, 48), jnp.uint8)
+    targets = jnp.zeros((2, len(CLASSES)), jnp.float32)
+
+    flops = {}
+    for freeze in (False, True):
+        tx = build_optimizer(
+            "SGD", {"lr": 1e-3, "momentum": 0.9, "nesterov": True},
+            freeze_conv2d_encoder=freeze,
+        )
+        state = TrainState.create(variables, tx)
+        step = jax.jit(make_train_step(
+            model, FocalLoss(alpha=-1.0, gamma=1.2), tx, ema_decay=0.999))
+        compiled = step.lower(state, frames, targets,
+                              jax.random.PRNGKey(1)).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, list) else cost
+        flops[freeze] = float(cost["flops"])
+
+    assert flops[True] < 0.7 * flops[False], flops
