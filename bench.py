@@ -55,19 +55,26 @@ def _arch() -> str:
     return os.environ.get("BENCH_ARCH", "tf_efficientnetv2_b0.in1k")
 
 
+# BENCH_FRAMES swaps the temporal geometry (33 = the stage-4 long-context
+# recipe, reference configs/ball_action/ball_finetune_long_004.py:8).
+def _frames() -> int:
+    return int(os.environ.get("BENCH_FRAMES", 15))
+
+
 def _flagship_params(width: int, height: int) -> dict:
     return {
         "nn_module": (
             "multidim_stacker",
             dict(
                 model_name=_arch(),
-                num_classes=2, num_frames=15, stack_size=3, index_2d_features=4,
+                num_classes=2, num_frames=_frames(), stack_size=3,
+                index_2d_features=4,
                 num_3d_blocks=4, num_3d_features=192, expansion_3d_ratio=3,
                 se_reduce_3d_ratio=24, num_3d_stack_proj=256,
                 drop_rate=0.2, drop_path_rate=0.2, act_layer="silu",
             ),
         ),
-        "frame_stack_size": 15,
+        "frame_stack_size": _frames(),
         "frame_stack_step": 2,
         "frames_processor": ("pad_normalize", {"size": (width, height)}),
     }
@@ -81,8 +88,8 @@ def _write_ckpt(tmp: str, width: int, height: int) -> Path:
     from ball_action_spotting_tpu.train.checkpoint import save_checkpoint
     from __graft_entry__ import _flagship
 
-    model = _flagship(jnp.bfloat16, model_name=_arch())
-    x0 = jnp.zeros((1, 15, 64, 96), jnp.float32)
+    model = _flagship(jnp.bfloat16, model_name=_arch(), num_frames=_frames())
+    x0 = jnp.zeros((1, _frames(), 64, 96), jnp.float32)
     # jit the init: eager per-op dispatch is pathological on remote TPU
     variables = jax.jit(
         lambda rng: model.init({"params": rng}, x0, train=False)
@@ -111,9 +118,10 @@ def bench_train() -> dict:
     height, width = (736, 1280) if on_tpu else (64, 96)
     steps = int(os.environ.get("BENCH_STEPS", 10 if on_tpu else 2))
 
-    model = _flagship(jnp.bfloat16, model_name=_arch())
+    model = _flagship(jnp.bfloat16, model_name=_arch(), num_frames=_frames())
     variables = jax.jit(
-        lambda r: model.init({"params": r}, jnp.zeros((1, 15, 64, 96), jnp.float32),
+        lambda r: model.init({"params": r},
+                             jnp.zeros((1, _frames(), 64, 96), jnp.float32),
                              train=False)
     )(jax.random.PRNGKey(0))
     tx = build_optimizer("AdamW", {}, schedule=warmup_cosine(3e-4, 3e-6, 100, 1000))
@@ -126,7 +134,7 @@ def bench_train() -> dict:
     rng = jax.random.PRNGKey(0)
     nprng = np.random.default_rng(0)
     frames = jax.device_put(
-        nprng.integers(0, 255, (batch, 15, height, width), dtype=np.uint8)
+        nprng.integers(0, 255, (batch, _frames(), height, width), dtype=np.uint8)
     )
     targets = jax.device_put(nprng.random((batch, 2)).astype(np.float32))
     state, aux = step(state, frames, targets, rng)
