@@ -10,10 +10,13 @@ batches device work ACROSS streams per tick:
 - all streams' newly-needed stacks → one ``forward_2d`` call;
 - all streams with complete windows → one ``forward_3d + head`` call.
 
-Batch sizes vary tick to tick, so calls pad up to power-of-two buckets
-(bounded set of compiled programs; padding rows are repeats and get
-discarded). Staggering stream admission by ``span`` phases keeps per-tick
-work uniform.
+Batch sizes vary tick to tick, so calls pad up to buckets — powers of two
+to 16, then multiples of ``bucket_granularity`` (default 8) — a bounded
+set of compiled programs; padding rows are repeats and get discarded.
+Finer buckets above 16 exist because steady-state K streams execute at
+``bucket(K)``: pure powers of two would make K=33..63 all pay bucket-64
+compute, a measured capacity cliff (bench_serve_device). Staggering
+stream admission by ``span`` phases keeps per-tick work uniform.
 
 ``mesh=``: spread each tick's batched device calls over a
 ``jax.sharding.Mesh``'s ``"data"`` axis (weights replicated, batch dims
@@ -31,6 +34,78 @@ import jax.numpy as jnp
 import numpy as np
 
 from ball_action_spotting_tpu.predict.streaming import PredictorBase, _batched
+
+
+def device_tick_ms(
+    predictor: "MultiStreamPredictor",
+    bucket: int,
+    scan_lengths: tuple[int, int] = (1, 9),
+    reps: int = 3,
+) -> tuple[float, dict]:
+    """Device-true steady-state tick latency at a padded batch size.
+
+    At steady state (staggered admission — ``idx[sid] = sid % step``, the
+    pattern ``bench.py``'s serve mode and the HTTP server use), every
+    warmed stream contributes exactly one new 2D stack and one ready
+    window per tick, so a K-stream tick's device work is one ``forward_2d``
+    at bucket ``nb`` plus one ``forward_3d + head`` row program at bucket
+    ``mb``, with ``nb == mb == _bucket_shape(K)``.
+
+    Per-dispatch wall timing cannot resolve that through a dev tunnel
+    (~30 ms dispatch overhead per program), so the tick body is timed with
+    the in-jit ``lax.scan`` differencing pattern: compile the same body at
+    scan lengths L0 < L1 and take ``(t[L1] - t[L0]) / (L1 - L0)``. The
+    body runs the REAL serving math (``_fwd2d_raw`` + the ``_fwd3d_rows``
+    reshape/forward/TTA-mean) chained through the carry so XLA cannot
+    hoist it (the graph is nonlinear — CLAUDE.md scan-timing rules).
+
+    Returns ``(ms_per_tick, raw_wall_times_by_length)``.
+    """
+    import time
+
+    w, h = predictor.image_size
+    ph, pw = predictor.pad_frame(np.zeros((h, w), np.uint8)).shape
+    s = predictor.num_stacks
+    t = predictor.num_tta
+    stack = predictor.model_stack_size
+    fwd2d = predictor._fwd2d_raw
+    fwd3d = predictor._fwd3d_head_raw
+    variables = predictor.variables
+    rng = np.random.default_rng(0)
+    xf = jnp.asarray(
+        rng.integers(0, 255, (bucket, stack, ph, pw), dtype=np.uint8))
+
+    def tick_body(c, _):
+        # carry-dependent uint8 input prevents loop hoisting
+        xu = xf + (c * 1e-3).astype(jnp.uint8)
+        feats = fwd2d(variables, xu)  # (nb, tta, h, w, C)
+        # window rows at the engine's stacked shape (mb*S, tta, h, w, C)
+        rows = jnp.concatenate([feats] * s, axis=0)
+        win = rows.reshape((bucket, s, t) + rows.shape[2:])
+        win = jnp.moveaxis(win, 2, 1)
+        flat = win.reshape((bucket * t,) + win.shape[2:])
+        preds = fwd3d(variables, flat)
+        preds = preds.reshape(bucket, t, -1).mean(axis=1)
+        c2 = (c + feats.astype(jnp.float32).mean() * 1e-20
+              + preds.mean() * 1e-20)
+        return c2, ()
+
+    def scan_fn(length, c0):
+        c, _ = jax.lax.scan(tick_body, c0, None, length=length)
+        return c
+
+    jfn = jax.jit(scan_fn, static_argnums=0)
+    times = {}
+    for length in scan_lengths:
+        np.asarray(jfn(length, jnp.float32(0.0)))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jfn(length, jnp.float32(0.0)))
+            best = min(best, time.perf_counter() - t0)
+        times[length] = best
+    l0, l1 = scan_lengths
+    return (times[l1] - times[l0]) / (l1 - l0) * 1e3, times
 
 
 def _bucket(n: int) -> int:
@@ -60,11 +135,20 @@ class MultiStreamPredictor(PredictorBase):
     (same weights, same math — only the batching differs).
     """
 
-    def __init__(self, *args, mesh=None, **kwargs):
+    def __init__(self, *args, mesh=None, bucket_granularity: int = 8,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self._streams: dict = {}
         self._predict_offset = self.indexes_generator.make_stack_indexes(0)[-1]
         self._min_bucket = 1
+        # above 16 rows, pad to multiples of this instead of the next power
+        # of two: pure power-of-two buckets halve themselves as capacity
+        # cliffs (steady state K streams execute at bucket(K), so K=33..63
+        # would all pay bucket-64 compute — measured on the v5e that is the
+        # difference between a realtime and a non-realtime tick; see
+        # bench.py::bench_serve_device). 0/None disables (pure powers of
+        # two). The compiled-program set stays bounded either way.
+        self.bucket_granularity = bucket_granularity
         self._batch_sharding = None
         # per-bucket jitted helpers: a tick must cost a CONSTANT number of
         # dispatched programs (~6), not O(streams) — eager per-row slicing
@@ -87,12 +171,18 @@ class MultiStreamPredictor(PredictorBase):
             self._min_bucket = mesh.shape["data"]
 
     def _bucket_shape(self, n: int) -> int:
-        """Padded batch size for ``n`` rows: next power of two, floored at
-        the mesh data-axis size AND rounded up to a multiple of it — a
-        sharded batch dim must divide the axis, and for a non-power-of-two
-        axis (e.g. 6 devices) the power-of-two bucket alone does not
-        (n=7 → 8, not divisible by 6 → device_put would raise)."""
-        b = max(_bucket(n), self._min_bucket)
+        """Padded batch size for ``n`` rows: next power of two up to 16,
+        then multiples of ``bucket_granularity`` (capacity-cliff fix — see
+        ``__init__``); floored at the mesh data-axis size AND rounded up
+        to a multiple of it — a sharded batch dim must divide the axis,
+        and for a non-power-of-two axis (e.g. 6 devices) the power-of-two
+        bucket alone does not (n=7 → 8, not divisible by 6 → device_put
+        would raise)."""
+        b = _bucket(n)
+        g = self.bucket_granularity
+        if g and b > 16:
+            b = -(-n // g) * g
+        b = max(b, self._min_bucket)
         return -(-b // self._min_bucket) * self._min_bucket
 
     def _split_rows(self, array: jax.Array, n: int) -> tuple:

@@ -75,3 +75,11 @@ def test_bench_serve():
     _check_line(result)
     assert result["value"] >= 0
     assert "2" in result["extra"]["multistream_raw_ms_per_tick"]
+
+
+@pytest.mark.slow
+def test_bench_serve_device():
+    result = bench.bench_serve_device()
+    _check_line(result)
+    ticks = result["extra"]["tick_ms_by_bucket"]
+    assert set(ticks) == {"2", "4"} and all(v > 0 for v in ticks.values())

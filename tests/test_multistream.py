@@ -135,6 +135,7 @@ def test_bucket_shape_divides_non_power_of_two_mesh_axis():
     """ADVICE r2: with a 6-device data axis, n=7 must NOT bucket to 8
     (device_put with P('data') on a non-divisible batch dim raises)."""
     p = object.__new__(MultiStreamPredictor)
+    p.bucket_granularity = 8
     p._min_bucket = 6
     assert p._bucket_shape(1) == 6
     assert p._bucket_shape(7) == 12
@@ -143,3 +144,21 @@ def test_bucket_shape_divides_non_power_of_two_mesh_axis():
     assert [p._bucket_shape(n) for n in (1, 3, 7, 9)] == [4, 4, 8, 16]
     p._min_bucket = 1  # no mesh: unchanged
     assert [p._bucket_shape(n) for n in (1, 3, 7)] == [1, 4, 8]
+
+
+def test_bucket_shape_granularity_above_16():
+    """Above 16 rows, buckets step by ``bucket_granularity`` (default 8)
+    instead of doubling — the steady-state tick executes at bucket(K), so
+    pure powers of two would make K=33..63 all pay bucket-64 compute (a
+    measured realtime-capacity cliff, bench_serve_device)."""
+    p = object.__new__(MultiStreamPredictor)
+    p.bucket_granularity = 8
+    p._min_bucket = 1
+    assert [p._bucket_shape(n) for n in (16, 17, 24, 25, 33, 38, 41, 64)] \
+        == [16, 24, 24, 32, 40, 40, 48, 64]
+    p.bucket_granularity = 0  # opt-out restores pure powers of two
+    assert [p._bucket_shape(n) for n in (17, 33, 38)] == [32, 64, 64]
+    p.bucket_granularity = 8  # granularity buckets still honor the mesh
+    p._min_bucket = 6
+    assert p._bucket_shape(17) == 24
+    assert p._bucket_shape(25) == 36
