@@ -53,11 +53,13 @@ def device_tick_ms(
 
     Per-dispatch wall timing cannot resolve that through a dev tunnel
     (~30 ms dispatch overhead per program), so the tick body is timed with
-    the in-jit ``lax.scan`` differencing pattern: compile the same body at
-    scan lengths L0 < L1 and take ``(t[L1] - t[L0]) / (L1 - L0)``. The
+    the in-jit loop-differencing pattern: run the same body L0 and L1
+    times inside one program and take ``(t[L1] - t[L0]) / (L1 - L0)``. The
     body runs the REAL serving math (``_fwd2d_raw`` + the ``_fwd3d_rows``
     reshape/forward/TTA-mean) chained through the carry so XLA cannot
-    hoist it (the graph is nonlinear — CLAUDE.md scan-timing rules).
+    hoist it (the graph is nonlinear — CLAUDE.md scan-timing rules). The
+    trip count is a DYNAMIC ``lax.fori_loop`` bound, so both lengths share
+    one compiled program (a 20-160 s backend compile each, on the v5e).
 
     Returns ``(ms_per_tick, raw_wall_times_by_length)``.
     """
@@ -75,7 +77,7 @@ def device_tick_ms(
     xf = jnp.asarray(
         rng.integers(0, 255, (bucket, stack, ph, pw), dtype=np.uint8))
 
-    def tick_body(c, _):
+    def tick_body(_, c):
         # carry-dependent uint8 input prevents loop hoisting
         xu = xf + (c * 1e-3).astype(jnp.uint8)
         feats = fwd2d(variables, xu)  # (nb, tta, h, w, C)
@@ -86,22 +88,20 @@ def device_tick_ms(
         flat = win.reshape((bucket * t,) + win.shape[2:])
         preds = fwd3d(variables, flat)
         preds = preds.reshape(bucket, t, -1).mean(axis=1)
-        c2 = (c + feats.astype(jnp.float32).mean() * 1e-20
-              + preds.mean() * 1e-20)
-        return c2, ()
+        return (c + feats.astype(jnp.float32).mean() * 1e-20
+                + preds.mean() * 1e-20)
 
-    def scan_fn(length, c0):
-        c, _ = jax.lax.scan(tick_body, c0, None, length=length)
-        return c
+    def loop_fn(length, c0):
+        return jax.lax.fori_loop(0, length, tick_body, c0)
 
-    jfn = jax.jit(scan_fn, static_argnums=0)
+    jfn = jax.jit(loop_fn)
     times = {}
     for length in scan_lengths:
-        np.asarray(jfn(length, jnp.float32(0.0)))  # compile + warm
+        np.asarray(jfn(jnp.int32(length), jnp.float32(0.0)))  # compile+warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(jfn(length, jnp.float32(0.0)))
+            np.asarray(jfn(jnp.int32(length), jnp.float32(0.0)))
             best = min(best, time.perf_counter() - t0)
         times[length] = best
     l0, l1 = scan_lengths
