@@ -215,6 +215,46 @@ class MultiStreamPredictor(PredictorBase):
             self._fwd3d_rows_fns[mb] = fn
         return fn(self.variables, stacked)
 
+    def warmup(self, max_streams: int, frames_per_tick: int = 1,
+               include_rampup: bool = False) -> list[int]:
+        """Pre-compile every tick program reachable while serving up to
+        ``max_streams`` streams (``frames_per_tick`` frames each per
+        ``predict_batch`` call).
+
+        A bucket's first tick pays its backend compile — 20-160 s on a
+        v5e — which stalls live traffic; paying it at startup (ideally
+        with ``BAS_TPU_COMPILE_CACHE`` so restarts read from disk) keeps
+        every serving tick at its steady-state latency. Warms the whole
+        bucket ladder below the steady-state shape because staggered
+        rampup passes through the smaller buckets. ``include_rampup=True``
+        additionally covers simultaneous stream admission, whose first
+        complete window computes up to ``num_stacks`` missing stacks per
+        stream in one tick (up to ``num_stacks``× more buckets — slow;
+        staggered admission, the recommended pattern, does not need it).
+
+        Uses device-resident zero inputs (no H2D), exercising the same
+        jitted programs ``predict_batch`` dispatches. Returns the sorted
+        bucket sizes warmed.
+        """
+        rows = max(1, max_streams) * max(1, frames_per_tick)
+        reach = self.num_stacks * rows if include_rampup else rows
+        targets = sorted({self._bucket_shape(n) for n in range(1, reach + 1)})
+        w, h = self.image_size
+        ph, pw = self.pad_frame(np.zeros((h, w), np.uint8)).shape
+        s = self.num_stacks
+        for b in targets:
+            x0 = np.zeros((b, self.model_stack_size, ph, pw), np.uint8)
+            x = (jnp.asarray(x0) if self._batch_sharding is None
+                 else jax.device_put(x0, self._batch_sharding))
+            feats = self._fwd2d(self.variables, x)
+            self._split_rows(feats, b)
+            stacked = jnp.concatenate([feats] * s, axis=0)
+            if self._batch_sharding is not None:
+                stacked = jax.device_put(stacked, self._batch_sharding)
+            preds = self._fwd3d_rows(stacked, b)
+            np.asarray(self._split_rows(preds, b)[0])  # force compile+run
+        return targets
+
     def reset_stream(self, stream_id) -> None:
         self._streams[stream_id] = _StreamState()
 

@@ -355,9 +355,20 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--tta", action="store_true")
     parser.add_argument("--max_batch", type=int, default=16)
+    parser.add_argument(
+        "--warmup_streams", type=int, default=0,
+        help="pre-compile the tick programs for up to this many concurrent "
+             "streams before accepting traffic (a cold bucket compile "
+             "mid-traffic stalls a live tick by 20-160 s on a v5e; combine "
+             "with BAS_TPU_COMPILE_CACHE so restarts read from disk)")
     args = parser.parse_args(argv)
 
     predictor = MultiStreamPredictor(args.checkpoint, tta=args.tta)
+    if args.warmup_streams > 0:
+        t0 = time.perf_counter()
+        warmed = predictor.warmup(args.warmup_streams)
+        logger.info("warmed tick buckets %s in %.1f s", warmed,
+                    time.perf_counter() - t0)
     server, service = make_server(
         predictor, args.host, args.port, max_batch=args.max_batch
     )

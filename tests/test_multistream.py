@@ -146,6 +146,36 @@ def test_bucket_shape_divides_non_power_of_two_mesh_axis():
     assert [p._bucket_shape(n) for n in (1, 3, 7)] == [1, 4, 8]
 
 
+def test_warmup_precompiles_all_serving_buckets(ckpt_path):  # noqa: F811
+    """After warmup(K, include_rampup=True), serving K streams — even with
+    simultaneous admission, whose first-window tick computes num_stacks
+    missing stacks per stream — dispatches only pre-compiled bucket
+    programs (a cold bucket compile mid-traffic stalls a live tick by the
+    backend compile time, 20-160 s on a v5e)."""
+    k = 5
+    multi = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+    warmed = multi.warmup(k, include_rampup=True)
+    # ladder below num_stacks*k: pow2 to 16 (tiny arch: num_stacks=2)
+    assert warmed == [1, 2, 4, 8, 16]
+    fwd_keys = set(multi._fwd3d_rows_fns)
+    split_keys = set(multi._splitters)
+    assert set(warmed) == fwd_keys == split_keys
+
+    sources = _sources(k)
+    positions = {s: -1 for s in sources}
+    got = 0
+    for _ in range(FRAME_COUNT):
+        batch = []
+        for s, src in sources.items():
+            positions[s] += 1
+            batch.append((s, src.fetch_frame(), positions[s]))
+        for _, pred, _ in multi.predict_batch(batch):
+            got += pred is not None
+    assert got > 0
+    assert set(multi._fwd3d_rows_fns) == fwd_keys  # no new programs
+    assert set(multi._splitters) == split_keys
+
+
 def test_bucket_shape_granularity_above_16():
     """Above 16 rows, buckets step by ``bucket_granularity`` (default 8)
     instead of doubling — the steady-state tick executes at bucket(K), so
