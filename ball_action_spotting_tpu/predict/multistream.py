@@ -11,11 +11,13 @@ batches device work ACROSS streams per tick:
 - all streams with complete windows → one ``forward_3d + head`` call.
 
 Batch sizes vary tick to tick, so calls pad up to buckets — powers of two
-to 16, then multiples of ``bucket_granularity`` (default 8) — a bounded
-set of compiled programs; padding rows are repeats and get discarded.
-Finer buckets above 16 exist because steady-state K streams execute at
+to 8, then 12, 16, and multiples of ``bucket_granularity`` (default 8) —
+a bounded set of compiled programs; padding rows are repeats and get
+discarded. Finer buckets exist because steady-state K streams execute at
 ``bucket(K)``: pure powers of two would make K=33..63 all pay bucket-64
-compute, a measured capacity cliff (bench_serve_device). Staggering
+compute, and K=9..16 with hflip TTA pay the over-realtime-budget
+bucket-16 tick where bucket 12 fits (both measured capacity cliffs,
+bench_serve_device / BENCH_SERVE_DEVICE_r04.json). Staggering
 stream admission by ``span`` phases keeps per-tick work uniform.
 
 ``mesh=``: spread each tick's batched device calls over a
@@ -171,9 +173,11 @@ class MultiStreamPredictor(PredictorBase):
             self._min_bucket = mesh.shape["data"]
 
     def _bucket_shape(self, n: int) -> int:
-        """Padded batch size for ``n`` rows: next power of two up to 16,
-        then multiples of ``bucket_granularity`` (capacity-cliff fix — see
-        ``__init__``); floored at the mesh data-axis size AND rounded up
+        """Padded batch size for ``n`` rows: next power of two up to 8,
+        one intermediate step (multiples of ``granularity/2``, i.e. 12)
+        between 8 and 16, then multiples of ``bucket_granularity``
+        (capacity-cliff fix — see ``__init__``); floored at the mesh
+        data-axis size AND rounded up
         to a multiple of it — a sharded batch dim must divide the axis,
         and for a non-power-of-two axis (e.g. 6 devices) the power-of-two
         bucket alone does not (n=7 → 8, not divisible by 6 → device_put
@@ -182,6 +186,12 @@ class MultiStreamPredictor(PredictorBase):
         g = self.bucket_granularity
         if g and b > 16:
             b = -(-n // g) * g
+        elif g and b == 16:
+            # one intermediate step between 8 and 16 (measured: the
+            # bucket-12 tick is realtime with TTA on where bucket 16 is
+            # not — BENCH_SERVE_DEVICE_r04.json)
+            half = max(4, g // 2)
+            b = -(-n // half) * half
         b = max(b, self._min_bucket)
         return -(-b // self._min_bucket) * self._min_bucket
 

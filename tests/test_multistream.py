@@ -140,8 +140,8 @@ def test_bucket_shape_divides_non_power_of_two_mesh_axis():
     assert p._bucket_shape(1) == 6
     assert p._bucket_shape(7) == 12
     assert p._bucket_shape(13) == 18
-    p._min_bucket = 4  # power-of-two axes keep the plain pow2 buckets
-    assert [p._bucket_shape(n) for n in (1, 3, 7, 9)] == [4, 4, 8, 16]
+    p._min_bucket = 4  # 12 divides a 4-wide axis, so the sub-16 step stays
+    assert [p._bucket_shape(n) for n in (1, 3, 7, 9)] == [4, 4, 8, 12]
     p._min_bucket = 1  # no mesh: unchanged
     assert [p._bucket_shape(n) for n in (1, 3, 7)] == [1, 4, 8]
 
@@ -155,8 +155,8 @@ def test_warmup_precompiles_all_serving_buckets(ckpt_path):  # noqa: F811
     k = 5
     multi = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32)
     warmed = multi.warmup(k, include_rampup=True)
-    # ladder below num_stacks*k: pow2 to 16 (tiny arch: num_stacks=2)
-    assert warmed == [1, 2, 4, 8, 16]
+    # ladder below num_stacks*k=10: pow2 to 8, then the 12 step
+    assert warmed == [1, 2, 4, 8, 12]
     fwd_keys = set(multi._fwd3d_rows_fns)
     split_keys = set(multi._splitters)
     assert set(warmed) == fwd_keys == split_keys
@@ -186,9 +186,16 @@ def test_bucket_shape_granularity_above_16():
     p._min_bucket = 1
     assert [p._bucket_shape(n) for n in (16, 17, 24, 25, 33, 38, 41, 64)] \
         == [16, 24, 24, 32, 40, 40, 48, 64]
+    # the sub-16 intermediate step: 9..12 -> 12 (the measured TTA-on
+    # realtime bucket), 13..16 -> 16
+    assert [p._bucket_shape(n) for n in (8, 9, 12, 13, 16)] \
+        == [8, 12, 12, 16, 16]
     p.bucket_granularity = 0  # opt-out restores pure powers of two
-    assert [p._bucket_shape(n) for n in (17, 33, 38)] == [32, 64, 64]
+    assert [p._bucket_shape(n) for n in (9, 17, 33, 38)] == [16, 32, 64, 64]
     p.bucket_granularity = 8  # granularity buckets still honor the mesh
     p._min_bucket = 6
     assert p._bucket_shape(17) == 24
     assert p._bucket_shape(25) == 36
+    assert p._bucket_shape(9) == 12
+    p._min_bucket = 8
+    assert p._bucket_shape(9) == 16  # 12 rounds up to the 8-wide axis
