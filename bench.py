@@ -391,7 +391,10 @@ def bench_serve() -> dict:
             "note": "tick walls are transport-bound on the dev tunnel "
                     "(~1 MB H2D/frame at ~40 MB/s + ~30 ms/program); the "
                     "tick is a constant ~6 programs — see "
-                    "predict/multistream.py",
+                    "predict/multistream.py. The capacity here is an "
+                    "upper-bound derivation; BENCH_METRIC=serve_device "
+                    "MEASURES it from device-true tick latency "
+                    "(BENCH_SERVE_DEVICE_r04.json)",
         },
     }
 
