@@ -116,6 +116,10 @@ def test_multistream_mesh_sharded_matches_per_stream(ckpt_path):  # noqa: F811
     multi = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32,
                                  mesh=make_mesh(8, 1))
     assert multi._min_bucket == 8
+    # warmup under mesh sharding: every warmed bucket divides the axis,
+    # and serving then adds no new compiled programs
+    assert multi.warmup(2) == [8]
+    warm_keys = set(multi._fwd3d_rows_fns)
     src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
                           seed=6, events={20: 0, 30: 1})
     preds = {}
@@ -129,6 +133,7 @@ def test_multistream_mesh_sharded_matches_per_stream(ckpt_path):  # noqa: F811
     idx, raw = get_raw_predictions(single, src2, FRAME_COUNT)
     got = np.stack([preds[i] for i in idx])
     np.testing.assert_allclose(got, raw, atol=1e-5)
+    assert set(multi._fwd3d_rows_fns) == warm_keys  # warmup covered it all
 
 
 def test_bucket_shape_divides_non_power_of_two_mesh_axis():
