@@ -101,7 +101,7 @@ class SpottingService:
     """Batches frames across streams onto the device; thread-safe facade
     over ``MultiStreamPredictor``."""
 
-    def __init__(self, predictor, max_batch: int = 16,
+    def __init__(self, predictor, max_batch: int = 64,
                  tick_timeout_s: float = 0.005, result_capacity: int = 4096,
                  ingest_capacity: int = 1024):
         self.predictor = predictor
@@ -354,7 +354,15 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--tta", action="store_true")
-    parser.add_argument("--max_batch", type=int, default=16)
+    parser.add_argument(
+        "--max_batch", type=int, default=64,
+        help="max frames one batcher tick passes to predict_batch. Set it "
+             "ABOVE the expected concurrent stream count (ideally 2x, so a "
+             "backlogged tick can batch 2 frames/stream — measured to "
+             "RAISE capacity via bucket amortization, "
+             "BENCH_SERVE_DEVICE_r04.json): a cap below the stream count "
+             "splits each tick into several small-bucket device calls, "
+             "which is strictly slower than one large-bucket call")
     parser.add_argument(
         "--warmup_streams", type=int, default=0,
         help="pre-compile the tick programs for up to this many concurrent "
