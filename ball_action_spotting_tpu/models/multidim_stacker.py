@@ -170,6 +170,23 @@ class MultiDimStacker(nn.Module):
         _, fh, fw, fc = x.shape
         return x.reshape(b, num_stacks, fh, fw, fc)
 
+    def forward_2d_nhwc(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """(B, H, W, stack_size) channels-last stacks → (B, h, w, C3d).
+
+        ``forward_2d`` without the frames-to-channels relayout, for engines
+        that assemble stacks channels-last ON DEVICE (the chunked engine:
+        building the stack axis last lets XLA fuse slice+stack+normalize
+        into the conv input directly — the NCHW-first assembly materialized
+        ~0.7 GB of extra u8 relayout per 128-chunk, measured in the
+        program's optimized HLO). Same params, same math: the value stream
+        is identical to ``forward_2d`` on the transposed input (pinned by
+        ``tests/test_models.py``)."""
+        assert x.shape[-1] == self.stack_size
+        x = x.astype(self.dtype)
+        x = self.conv2d_encoder(x, train=train)
+        x = self.conv2d_projection_conv(x)
+        return self.conv2d_projection_bn(x, train=train)
+
     def forward_3d(self, x: jax.Array, train: bool = False) -> jax.Array:
         """(B, T', h, w, C) stack features → (B, h, w, T'*proj) fused map."""
         b, t, h, w, c = x.shape
@@ -187,6 +204,32 @@ class MultiDimStacker(nn.Module):
 
     def forward_head(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = self.global_pool(x)
+        if self.drop_rate > 0.0:
+            x = self.dropout(x, deterministic=not train)
+        return self.classifier(x)
+
+    def forward_3d_head(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """(B, T', h, w, C) stack features → (B, num_classes) logits.
+
+        ``forward_head(forward_3d(x))`` without the stack-concat transpose:
+        GeM pools over (h, w) only, so it commutes with the reference's
+        channel-wise stack concat (``multidim_stacker.py:229``) — pool the
+        (B·T', h, w, proj) map per stack and flatten the pooled vector
+        stack-major instead of relayouting the full feature map. Same
+        params, same math, same classifier weight order; skips ~0.9 GB of
+        transpose copies per 128-prediction chunk program (measured in the
+        optimized HLO). Equality with the two-step path is pinned by
+        ``tests/test_models.py``."""
+        b, t, h, w, c = x.shape
+        assert c == self.num_3d_features and t == self.num_stacks
+        for block in self.conv3d_encoder:
+            x = block(x, train=train)
+        x = x.reshape(b * t, h, w, c)
+        x = self.conv3d_projection_conv(x)
+        x = self.conv3d_projection_bn(x, train=train)
+        x = self.global_pool(x)  # (b*t, proj) float32
+        # stack-major flatten == the transpose+reshape channel order
+        x = x.reshape(b, t * self.num_3d_stack_proj)
         if self.drop_rate > 0.0:
             x = self.dropout(x, deterministic=not train)
         return self.classifier(x)
