@@ -374,7 +374,15 @@ def main(argv: Optional[list[str]] = None) -> None:
     predictor = MultiStreamPredictor(args.checkpoint, tta=args.tta)
     if args.warmup_streams > 0:
         t0 = time.perf_counter()
-        warmed = predictor.warmup(args.warmup_streams)
+        # warm the BACKLOG path too: a backlogged tick batches up to 2
+        # frames/stream (the --max_batch >= 2x guidance above), reaching
+        # bucket_shape(2K) — if only bucket_shape(K) were warmed, the first
+        # backlogged tick would pay a 20-160 s live compile, exactly the
+        # stall warmup exists to prevent. Capped by max_batch (the batcher
+        # never passes more rows than that in one tick).
+        rows = max(args.warmup_streams,
+                   min(args.max_batch, 2 * args.warmup_streams))
+        warmed = predictor.warmup(rows)
         logger.info("warmed tick buckets %s in %.1f s", warmed,
                     time.perf_counter() - t0)
     server, service = make_server(

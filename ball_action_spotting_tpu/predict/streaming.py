@@ -293,8 +293,11 @@ class ChunkedVideoPredictor(PredictorBase):
         tta = self.tta
 
         def normalize_stacks(stacks):
+            # stacks: (batch, H, W, m) u8 — channels-last, the encoder's
+            # native input layout. hflip TTA flips the W axis.
             if tta:
-                stacks = jnp.concatenate([stacks, stacks[..., ::-1]], axis=0)
+                stacks = jnp.concatenate([stacks, stacks[:, :, ::-1, :]],
+                                         axis=0)
             # normalize directly in the model's compute dtype (bf16 halves
             # the materialized activation vs f32)
             return stacks.astype(model.dtype) / 255.0
@@ -303,20 +306,24 @@ class ChunkedVideoPredictor(PredictorBase):
             # (N, H, W) u8 + (OV, H, W) u8 → normalized stacks + new carry.
             # Stack assembly uses static strided SLICES, not index gathers —
             # XLA lowers big gathers on TPU to slow per-index loops, while
-            # slice+stack is pure layout work.
+            # slice+stack is pure layout work. The stack axis is born LAST
+            # (channels-last) so the assembled tensor is already in
+            # ``forward_2d_nhwc``'s input order: the former (batch, m, H, W)
+            # assembly forced a full-tensor relayout transpose inside
+            # ``forward_2d`` (~0.7 GB of u8/bf16 copies per 128-chunk in the
+            # optimized HLO).
             frames = jnp.concatenate([carry_frames_u8, new_frames_u8], axis=0)
             # stack f's j-th frame is frames[f + j·step] → per-j slices
             stacks = jnp.stack(
                 [frames[j * step : j * step + n_stacks] for j in range(m)],
-                axis=1,
-            )  # (n_stacks, m, H, W) u8
+                axis=-1,
+            )  # (n_stacks, H, W, m) u8
             return normalize_stacks(stacks), frames[-self.overlap:]
 
         def encode_2d(variables, x):
-            # normalized stacks → (tta, batch, h, w, C) encoder features
+            # normalized (batch, H, W, m) stacks → (tta, batch, h, w, C)
             feats = model.apply(variables, x, train=False,
-                                method=type(model).forward_2d)
-            feats = feats[:, 0]  # (tta*batch, h, w, C)
+                                method=type(model).forward_2d_nhwc)
             return feats.reshape((num_tta, -1) + feats.shape[1:])
 
         def head_from_feats(variables, feats):
@@ -326,14 +333,16 @@ class ChunkedVideoPredictor(PredictorBase):
                 [feats[:, k * span : k * span + n] for k in range(self.num_stacks)],
                 axis=2,
             )  # (tta, N, S, h, w, C)
-            windows = windows.transpose(1, 0, 2, 3, 4, 5)  # (N, tta, S, h, w, C)
-            flat = windows.reshape((n * num_tta,) + windows.shape[2:])
-            y = model.apply(variables, flat, train=False,
-                            method=type(model).forward_3d)
-            logits = model.apply(variables, y, train=False,
-                                 method=type(model).forward_head)
+            # flatten tta-major — merging the two leading axes is free,
+            # whereas the former (N, tta) order needed a materialized
+            # transpose of the whole window tensor when tta is on
+            flat = windows.reshape((num_tta * n,) + windows.shape[2:])
+            # forward_3d_head skips the stack-concat relayout the two-step
+            # forward_3d → forward_head path pays (~0.9 GB per 128-chunk)
+            logits = model.apply(variables, flat, train=False,
+                                 method=type(model).forward_3d_head)
             preds = jax.nn.sigmoid(logits.astype(jnp.float32))
-            return preds.reshape(n, num_tta, -1).mean(axis=1)
+            return preds.reshape(num_tta, n, -1).mean(axis=0)
 
         def fold_forward(variables, x):
             # normalized stacks → (N, classes) sigmoid preds for ONE set of
@@ -360,10 +369,11 @@ class ChunkedVideoPredictor(PredictorBase):
         self._feat_tail = feat_tail
 
         def assemble_new(new_frames_u8, tail_frames_u8):
-            # (N, H, W) u8 + (frame_tail, H, W) u8 → the N NEW stacks only
+            # (N, H, W) u8 + (frame_tail, H, W) u8 → the N NEW stacks only,
+            # channels-last like ``assemble``
             frames = jnp.concatenate([tail_frames_u8, new_frames_u8], axis=0)
             stacks = jnp.stack(
-                [frames[j * step : j * step + n] for j in range(m)], axis=1)
+                [frames[j * step : j * step + n] for j in range(m)], axis=-1)
             return normalize_stacks(stacks), frames[-frame_tail:]
 
         def chunk_fn_feats(variables, new_frames_u8, carry):
@@ -382,7 +392,7 @@ class ChunkedVideoPredictor(PredictorBase):
             stacks = jnp.stack(
                 [first_frames_u8[j * step : j * step + feat_tail]
                  for j in range(m)],
-                axis=1,
+                axis=-1,
             )
             x = normalize_stacks(stacks)
             return first_frames_u8[-frame_tail:], encode_2d(variables, x)

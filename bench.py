@@ -422,7 +422,10 @@ def bench_serve_device() -> dict:
 
     on_tpu = jax.default_backend() == "tpu"
     tta = os.environ.get("BENCH_TTA", "1" if on_tpu else "0") == "1"
-    default_buckets = ("8,16,24,32" if tta else "16,24,32,40,48,64") \
+    # TTA default includes the sub-16 ladder step 12 (the committed
+    # per-frame TTA-on capacity sits there) and 32 (the 2-frames/tick row);
+    # TTA-off includes 80 so the 40-streams@80ms row reproduces by default
+    default_buckets = ("8,12,16,24,32" if tta else "16,24,32,40,48,64,80") \
         if on_tpu else "2,4"
     buckets = [int(b) for b in os.environ.get(
         "BENCH_BUCKETS", default_buckets).split(",")]

@@ -112,6 +112,42 @@ class TestMultiDimStacker:
         head = model.apply(vars_, f3d, train=False, method=MultiDimStacker.forward_head)
         np.testing.assert_allclose(np.asarray(head), np.asarray(full), rtol=1e-5)
 
+    def test_forward_2d_nhwc_equals_forward_2d(self, model_and_vars):
+        # the chunked engine assembles stacks channels-last and calls
+        # forward_2d_nhwc — same params, same math as forward_2d on the
+        # frames-to-channels relayout of the same clip
+        model, vars_, _ = model_and_vars
+        x = jnp.asarray(np.random.default_rng(2).random((2, 6, 64, 64)), jnp.float32)
+        f2d = model.apply(vars_, x, train=False, method=MultiDimStacker.forward_2d)
+        b, t = x.shape[:2]
+        s = model.stack_size
+        nhwc = x.reshape(b * (t // s), s, 64, 64).transpose(0, 2, 3, 1)
+        f2d_nhwc = model.apply(
+            vars_, nhwc, train=False, method=MultiDimStacker.forward_2d_nhwc
+        )
+        np.testing.assert_allclose(
+            np.asarray(f2d_nhwc),
+            np.asarray(f2d).reshape(f2d_nhwc.shape),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_forward_3d_head_equals_two_step(self, model_and_vars):
+        # forward_3d_head == forward_head(forward_3d(x)): GeM pools over
+        # (h, w) only, so it commutes with the stack-concat relayout
+        model, vars_, _ = model_and_vars
+        x = jnp.asarray(np.random.default_rng(3).random((2, 6, 64, 64)), jnp.float32)
+        f2d = model.apply(vars_, x, train=False, method=MultiDimStacker.forward_2d)
+        f3d = model.apply(vars_, f2d, train=False, method=MultiDimStacker.forward_3d)
+        two_step = model.apply(
+            vars_, f3d, train=False, method=MultiDimStacker.forward_head
+        )
+        fused = model.apply(
+            vars_, f2d, train=False, method=MultiDimStacker.forward_3d_head
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(two_step), rtol=1e-5, atol=1e-6
+        )
+
     def test_train_mode_mutates_batch_stats(self, model_and_vars):
         model, vars_, x = model_and_vars
         frames = jnp.asarray(

@@ -8,7 +8,11 @@ import pytest
 import tests.test_models  # registers efficientnetv2_test
 from tests.test_predictor import FRAME_COUNT, ckpt_path  # noqa: F401
 from ball_action_spotting_tpu.data.video import SyntheticSource
-from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor, _bucket
+from ball_action_spotting_tpu.predict.multistream import (
+    DeviceStateMultiStreamPredictor,
+    MultiStreamPredictor,
+    _bucket,
+)
 from ball_action_spotting_tpu.predict.streaming import (
     StreamingPredictor,
     get_raw_predictions,
@@ -179,6 +183,134 @@ def test_warmup_precompiles_all_serving_buckets(ckpt_path):  # noqa: F811
     assert got > 0
     assert set(multi._fwd3d_rows_fns) == fwd_keys  # no new programs
     assert set(multi._splitters) == split_keys
+
+
+def test_device_state_matches_per_stream(ckpt_path):  # noqa: F811
+    """The device-resident-state engine (one dispatched program per tick,
+    rings + row gather/scatter in-program) must reproduce per-stream
+    StreamingPredictor outputs under staggered admission."""
+    k = 3
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=False, dtype=jnp.float32, slot_capacity=2)
+    sources = _sources(k)
+    started = {s: s * 2 for s in sources}
+    positions = {s: -1 for s in sources}
+    collected = {s: {} for s in sources}
+    for tick in range(FRAME_COUNT + 2 * k):
+        batch = []
+        for s, src in sources.items():
+            if tick < started[s]:
+                continue
+            if positions[s] + 1 >= FRAME_COUNT:
+                continue
+            positions[s] += 1
+            batch.append((s, src.fetch_frame(), positions[s]))
+        if not batch:
+            break
+        for s, pred, predict_index in multi.predict_batch(batch):
+            if pred is not None and predict_index >= 0:
+                collected[s][predict_index] = np.asarray(pred)
+
+    for s in sources:
+        ref_src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                                  seed=10 + s, events={20: 0, 30: 1})
+        single = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+        idx, raw = get_raw_predictions(single, ref_src, FRAME_COUNT)
+        assert set(idx) <= set(collected[s])
+        got = np.stack([collected[s][i] for i in idx])
+        np.testing.assert_allclose(got, raw, atol=1e-5)
+
+
+def test_device_state_tta_and_uniform_backlog(ckpt_path):  # noqa: F811
+    """TTA on + the uniform F=2 backlog path (one (bucket, F=2) program)
+    must equal the per-stream engine."""
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=True, dtype=jnp.float32)
+    src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96, seed=4,
+                          events={20: 0})
+    frames = [src.fetch_frame() for _ in range(FRAME_COUNT)]
+    preds = {}
+    for c0 in range(0, FRAME_COUNT - 1, 2):  # two frames per call
+        batch = [("a", frames[c0 + j], c0 + j) for j in range(2)]
+        for s, p, pi in multi.predict_batch(batch):
+            if p is not None and pi >= 0:
+                preds[pi] = np.asarray(p)
+    single = StreamingPredictor(ckpt_path, tta=True, dtype=jnp.float32)
+    src2 = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96, seed=4,
+                           events={20: 0})
+    idx, raw = get_raw_predictions(single, src2, FRAME_COUNT)
+    idx_got = [i for i in idx if i in preds]
+    assert len(idx_got) >= len(idx) - 2  # EOF tail may fall in the odd frame
+    got = np.stack([preds[i] for i in idx_got])
+    ref = np.stack([raw[idx.index(i)] for i in idx_got])
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_device_state_ragged_backlog_and_lifecycle(ckpt_path):  # noqa: F811
+    """Ragged backlogs (different frame counts per stream in one call)
+    split into F=1 layers; closing a stream frees its slot for reuse; a
+    frame-index gap raises."""
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=False, dtype=jnp.float32, slot_capacity=2)
+    srcs = _sources(2)
+    frames = {s: [srcs[s].fetch_frame() for _ in range(FRAME_COUNT)]
+              for s in srcs}
+    collected = {s: {} for s in srcs}
+    # stream 0 feeds 2 frames per call, stream 1 feeds 1 (ragged)
+    p0 = p1 = 0
+    while p0 < FRAME_COUNT - 1 or p1 < FRAME_COUNT:
+        batch = []
+        if p0 < FRAME_COUNT - 1:
+            batch += [(0, frames[0][p0], p0), (0, frames[0][p0 + 1], p0 + 1)]
+            p0 += 2
+        if p1 < FRAME_COUNT:
+            batch.append((1, frames[1][p1], p1))
+            p1 += 1
+        for s, pred, pi in multi.predict_batch(batch):
+            if pred is not None and pi >= 0:
+                collected[s][pi] = np.asarray(pred)
+    for s in srcs:
+        ref_src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                                  seed=10 + s, events={20: 0, 30: 1})
+        single = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+        idx, raw = get_raw_predictions(single, ref_src, FRAME_COUNT)
+        idx_got = [i for i in idx if i in collected[s]]
+        assert len(idx_got) >= len(idx) - 2
+        got = np.stack([collected[s][i] for i in idx_got])
+        ref = np.stack([raw[idx.index(i)] for i in idx_got])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    slot0 = multi._slot_of[0]
+    multi.close_stream(0)
+    assert 0 not in multi._slot_of and slot0 in multi._free
+    multi.predict_batch([("new", frames[0][0], 0)])
+    assert multi._slot_of["new"] == slot0  # slot reused
+    with pytest.raises(ValueError, match="consecutive"):
+        multi.predict_batch([("new", frames[0][5], 5)])  # gap after 0
+
+
+def test_device_state_warmup_bounds_programs(ckpt_path):  # noqa: F811
+    """After warmup(K), serving K streams (staggered) compiles no new tick
+    programs, and the whole tick is ONE program (plus the row split)."""
+    k = 3
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=False, dtype=jnp.float32)
+    warmed = multi.warmup(k)
+    assert warmed == [1, 2, 4]
+    tick_keys = set(multi._tick_fns)
+    assert tick_keys == {(1, 1, 4), (2, 1, 4), (4, 1, 4)}
+    sources = _sources(k)
+    positions = {s: -1 for s in sources}
+    got = 0
+    for _ in range(FRAME_COUNT):
+        batch = []
+        for s, src in sources.items():
+            positions[s] += 1
+            batch.append((s, src.fetch_frame(), positions[s]))
+        for _, pred, _ in multi.predict_batch(batch):
+            got += pred is not None
+    assert got > 0
+    assert set(multi._tick_fns) == tick_keys  # no new programs
 
 
 def test_bucket_shape_granularity_above_16():
