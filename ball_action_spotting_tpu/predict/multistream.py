@@ -110,6 +110,74 @@ def device_tick_ms(
     return (times[l1] - times[l0]) / (l1 - l0) * 1e3, times
 
 
+def device_state_tick_ms(
+    predictor: "DeviceStateMultiStreamPredictor",
+    bucket: int,
+    frames_per_slot: int = 1,
+    scan_lengths: tuple[int, int] = (1, 9),
+    reps: int = 3,
+) -> tuple[float, dict]:
+    """Device-true steady-state tick latency of the DEVICE-STATE engine.
+
+    Unlike ``device_tick_ms`` (which times the host-state engine's per-tick
+    device work and must approximate its host-side row gather/split as an
+    in-program concat — the caveat flagged in BENCH_SERVE_DEVICE_r04.json
+    note 7), this times the REAL serving program: the tick function itself,
+    including the slot-row gather (``jnp.take``), ring advance, and scatter
+    (``.at[idx].set``). The state threads through the fori_loop carry, so
+    there is nothing to approximate — the measured path IS
+    ``predict_batch``'s dispatched program.
+
+    Returns ``(ms_per_tick, raw_wall_times_by_length)``.
+    """
+    import time
+
+    import jax
+
+    predictor._ensure_capacity(bucket)
+    cap = predictor._cap
+    tick_raw = predictor._tick_raw_fns.get((bucket, frames_per_slot, cap))
+    if tick_raw is None:
+        predictor._tick_fn(bucket, frames_per_slot)
+        tick_raw = predictor._tick_raw_fns[(bucket, frames_per_slot, cap)]
+    variables = predictor.variables
+    rng = np.random.default_rng(0)
+    xf = jnp.asarray(rng.integers(
+        0, 255, (bucket, frames_per_slot, predictor._ph, predictor._pw),
+        dtype=np.uint8))
+    idx = jnp.asarray(np.arange(bucket, dtype=np.int32) % cap)
+
+    def body(_, carry):
+        c, frames_ring, feats_ring = carry
+        # carry-dependent uint8 input prevents loop hoisting (CLAUDE.md
+        # scan-timing rules; the ring state already chains through)
+        new = xf + (c * 1e-3).astype(jnp.uint8)
+        preds, frames_ring, feats_ring = tick_raw(
+            variables, frames_ring, feats_ring, idx, new)
+        return (c + preds.mean() * 1e-20, frames_ring, feats_ring)
+
+    def loop_fn(length, frames_ring, feats_ring):
+        return jax.lax.fori_loop(
+            0, length, body, (jnp.float32(0.0), frames_ring, feats_ring))
+
+    jfn = jax.jit(loop_fn)
+    times = {}
+    for length in scan_lengths:
+        c, _, _ = jfn(jnp.int32(length), predictor._frames_ring,
+                      predictor._feats_ring)
+        np.asarray(c)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c, _, _ = jfn(jnp.int32(length), predictor._frames_ring,
+                          predictor._feats_ring)
+            np.asarray(c)
+            best = min(best, time.perf_counter() - t0)
+        times[length] = best
+    l0, l1 = scan_lengths
+    return (times[l1] - times[l0]) / (l1 - l0) * 1e3, times
+
+
 def _bucket(n: int) -> int:
     """Next power of two ≥ n (bounds the set of compiled batch shapes)."""
     b = 1
@@ -430,6 +498,7 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         self._feat_hw_c = None
         self._cap = 0
         self._tick_fns: dict[tuple[int, int, int], object] = {}
+        self._tick_raw_fns: dict[tuple[int, int, int], object] = {}
         self._grow_fns: dict[tuple[int, int], object] = {}
         self._frames_ring = None
         self._feats_ring = None
@@ -561,6 +630,7 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             feats_ring = feats_ring.at[idx].set(ext_f[:, -r:])
             return preds, frames_ring, feats_ring
 
+        self._tick_raw_fns[key] = tick  # bench: chainable in a fori_loop
         fn = jax.jit(tick, donate_argnums=(1, 2))
         self._tick_fns[key] = fn
         return fn

@@ -340,7 +340,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     ball_action_spotting_tpu.predict.server --checkpoint ... --port 8080``."""
     import argparse
 
-    from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+    from ball_action_spotting_tpu.predict.multistream import (
+        DeviceStateMultiStreamPredictor,
+        MultiStreamPredictor,
+    )
     from ball_action_spotting_tpu.utils.platform import (
         maybe_enable_compilation_cache_from_env,
     )
@@ -369,9 +372,18 @@ def main(argv: Optional[list[str]] = None) -> None:
              "streams before accepting traffic (a cold bucket compile "
              "mid-traffic stalls a live tick by 20-160 s on a v5e; combine "
              "with BAS_TPU_COMPILE_CACHE so restarts read from disk)")
+    parser.add_argument(
+        "--device_state", action="store_true",
+        help="device-resident per-stream state: one dispatched program per "
+             "tick (frame + feature rings live in HBM, row gather/scatter "
+             "in-program — the engine the measured capacity ladder times "
+             "directly). Requires each stream to feed consecutive frame "
+             "indexes; the default host-state engine tolerates gaps")
     args = parser.parse_args(argv)
 
-    predictor = MultiStreamPredictor(args.checkpoint, tta=args.tta)
+    engine_cls = (DeviceStateMultiStreamPredictor if args.device_state
+                  else MultiStreamPredictor)
+    predictor = engine_cls(args.checkpoint, tta=args.tta)
     if args.warmup_streams > 0:
         t0 = time.perf_counter()
         # warm the BACKLOG path too: a backlogged tick batches up to 2
@@ -380,9 +392,14 @@ def main(argv: Optional[list[str]] = None) -> None:
         # backlogged tick would pay a 20-160 s live compile, exactly the
         # stall warmup exists to prevent. Capped by max_batch (the batcher
         # never passes more rows than that in one tick).
-        rows = max(args.warmup_streams,
-                   min(args.max_batch, 2 * args.warmup_streams))
-        warmed = predictor.warmup(rows)
+        if args.device_state:
+            # device-state ticks batch a backlog as (bucket=K, F=2)
+            # programs, not wider row buckets — warm that F ladder instead
+            warmed = predictor.warmup(args.warmup_streams, frames_per_tick=2)
+        else:
+            rows = max(args.warmup_streams,
+                       min(args.max_batch, 2 * args.warmup_streams))
+            warmed = predictor.warmup(rows)
         logger.info("warmed tick buckets %s in %.1f s", warmed,
                     time.perf_counter() - t0)
     server, service = make_server(

@@ -289,6 +289,23 @@ def test_device_state_ragged_backlog_and_lifecycle(ckpt_path):  # noqa: F811
         multi.predict_batch([("new", frames[0][5], 5)])  # gap after 0
 
 
+def test_device_state_tick_ms_smoke(ckpt_path):  # noqa: F811
+    """The bench helper measuring the REAL tick program (no concat
+    approximation) runs and returns a positive per-tick latency; the raw
+    tick function it chains is registered alongside every jitted tick."""
+    from ball_action_spotting_tpu.predict.multistream import (
+        device_state_tick_ms,
+    )
+
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=False, dtype=jnp.float32, slot_capacity=2)
+    ms, times = device_state_tick_ms(
+        multi, bucket=2, scan_lengths=(1, 3), reps=1)
+    assert ms > 0 and np.isfinite(ms)
+    assert set(times) == {1, 3}
+    assert (2, 1, multi._cap) in multi._tick_raw_fns
+
+
 def test_device_state_warmup_bounds_programs(ckpt_path):  # noqa: F811
     """After warmup(K), serving K streams (staggered) compiles no new tick
     programs, and the whole tick is ONE program (plus the row split)."""
@@ -298,7 +315,8 @@ def test_device_state_warmup_bounds_programs(ckpt_path):  # noqa: F811
     warmed = multi.warmup(k)
     assert warmed == [1, 2, 4]
     tick_keys = set(multi._tick_fns)
-    assert tick_keys == {(1, 1, 4), (2, 1, 4), (4, 1, 4)}
+    # cap stays at the constructor default (8): warmup(3) needs no growth
+    assert tick_keys == {(1, 1, 8), (2, 1, 8), (4, 1, 8)}
     sources = _sources(k)
     positions = {s: -1 for s in sources}
     got = 0

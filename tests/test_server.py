@@ -13,7 +13,10 @@ import pytest
 
 import tests.test_models  # registers efficientnetv2_test arch
 from ball_action_spotting_tpu.data.video import SyntheticSource
-from ball_action_spotting_tpu.predict.multistream import MultiStreamPredictor
+from ball_action_spotting_tpu.predict.multistream import (
+    DeviceStateMultiStreamPredictor,
+    MultiStreamPredictor,
+)
 from ball_action_spotting_tpu.predict.server import make_server
 from ball_action_spotting_tpu.predict.streaming import (
     StreamingPredictor,
@@ -71,8 +74,14 @@ def _http(method, url, data=None):
         return resp.status, json.loads(resp.read())
 
 
-def test_server_end_to_end(ckpt_path):
-    predictor = MultiStreamPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+@pytest.mark.parametrize(
+    "engine_cls", [MultiStreamPredictor, DeviceStateMultiStreamPredictor],
+    ids=["host_state", "device_state"])
+def test_server_end_to_end(ckpt_path, engine_cls):
+    """Both serving engines (host-state dicts vs device-resident rings —
+    the server CLI's --device_state switch) must yield identical results
+    through the full HTTP + batcher path."""
+    predictor = engine_cls(ckpt_path, tta=False, dtype=jnp.float32)
     server, service = make_server(predictor, max_batch=4)
     port = server.server_address[1]
     base = f"http://127.0.0.1:{port}"
