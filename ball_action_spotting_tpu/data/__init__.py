@@ -1,6 +1,7 @@
 from ball_action_spotting_tpu.data.video import (
     FrameSource,
     OpenCVSource,
+    HardSyntheticSource,
     SyntheticSource,
     make_synthetic_video_data,
     open_source,
@@ -16,6 +17,7 @@ from ball_action_spotting_tpu.data.loader import ClipLoader, prefetch_to_device
 __all__ = [
     "FrameSource",
     "OpenCVSource",
+    "HardSyntheticSource",
     "SyntheticSource",
     "make_synthetic_video_data",
     "open_source",

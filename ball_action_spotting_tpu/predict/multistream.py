@@ -123,10 +123,10 @@ def device_state_tick_ms(
     device work and must approximate its host-side row gather/split as an
     in-program concat — the caveat flagged in BENCH_SERVE_DEVICE_r04.json
     note 7), this times the REAL serving program: the tick function itself,
-    including the slot-row gather (``jnp.take``), ring advance, and scatter
-    (``.at[idx].set``). The state threads through the fori_loop carry, so
-    there is nothing to approximate — the measured path IS
-    ``predict_batch``'s dispatched program.
+    including the ring prefix read, advance, and write-back. The state
+    threads through the fori_loop carry, so there is nothing to
+    approximate — the measured path IS ``predict_batch``'s dispatched
+    program (steady state: every live stream feeds, ``active`` all-true).
 
     Returns ``(ms_per_tick, raw_wall_times_by_length)``.
     """
@@ -145,7 +145,7 @@ def device_state_tick_ms(
     xf = jnp.asarray(rng.integers(
         0, 255, (bucket, frames_per_slot, predictor._ph, predictor._pw),
         dtype=np.uint8))
-    idx = jnp.asarray(np.arange(bucket, dtype=np.int32) % cap)
+    active = jnp.ones((bucket,), jnp.bool_)
 
     def body(_, carry):
         c, frames_ring, feats_ring = carry
@@ -153,7 +153,7 @@ def device_state_tick_ms(
         # scan-timing rules; the ring state already chains through)
         new = xf + (c * 1e-3).astype(jnp.uint8)
         preds, frames_ring, feats_ring = tick_raw(
-            variables, frames_ring, feats_ring, idx, new)
+            variables, frames_ring, feats_ring, active, new)
         return (c + preds.mean() * 1e-20, frames_ring, feats_ring)
 
     def loop_fn(length, frames_ring, feats_ring):
@@ -453,21 +453,28 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
     host-side programs in-program. This engine moves the state INTO the
     tick program, so the measured path IS the serving path:
 
-    - a frame ring ``(cap+1, fr, H, W) u8`` and a newest-stack feature
-      ring ``(cap+1, R, tta, h, w, C)`` live on device, one row per stream
-      slot (row ``cap`` is a write sink for padding rows). ``fr`` =
-      ``(stack-1)·step + 1`` frames is exactly what assembling the newest
-      stack needs; ``R = (S-1)·span + 1`` newest-stack features is exactly
-      what gathering a prediction window needs (the window for predict
-      index ``p`` is the newest stacks from ``span·k`` ticks ago,
-      ``k = 0..S-1`` — the same cache-hit structure the reference's
-      streaming cache exploits, ``/root/reference/src/predictors.py``).
-    - one tick program per ``(bucket, frames_per_slot, cap)``: gather the
-      live slots' ring rows (``jnp.take``), append the new frames, build
-      the new stacks channels-last by static slicing, encode them all in
-      one ``forward_2d_nhwc`` batch, gather each new frame's window by
-      static strided slicing, run ``forward_3d_head``, scatter the
-      advanced rings back (``.at[idx].set``), return the predictions.
+    - a frame ring ``(cap, fr, H, W) u8`` and a newest-stack feature
+      ring ``(cap, R, tta, h, w, C)`` live on device, one row per stream
+      slot. ``fr`` = ``(stack-1)·step + 1`` frames is exactly what
+      assembling the newest stack needs; ``R = (S-1)·span + 1``
+      newest-stack features is exactly what gathering a prediction window
+      needs (the window for predict index ``p`` is the newest stacks from
+      ``span·k`` ticks ago, ``k = 0..S-1`` — the same cache-hit structure
+      the reference's streaming cache exploits,
+      ``/root/reference/src/predictors.py``).
+    - slots are COMPACT (live streams occupy rows ``0..K-1``;
+      ``close_stream`` swaps the last row into the hole with one small
+      device program), so a tick is GATHER-FREE: it reads the ring PREFIX
+      ``[:bucket]`` with a static slice, appends the new frames, builds
+      the new stacks channels-last by static slicing, encodes them all in
+      one ``forward_2d_nhwc`` batch, slices each new frame's window
+      statically, runs ``forward_3d_head``, and writes the advanced
+      prefix back with a static-offset ``dynamic_update_slice`` (an
+      ``(active,)`` row mask keeps rows whose stream fed no frame this
+      tick unchanged). Runtime-index ``jnp.take``/scatter was measured
+      57% slower per slot on the v5e (104.45 ms at bucket 80 vs the
+      83 ms compute floor) — XLA lowers big dynamic gathers on TPU to
+      per-index loops, while slice + update-slice is pure layout work.
       State arrays are donated — XLA updates them in place.
 
     Steady-state per-slot semantics (one new stack + one ready window per
@@ -500,11 +507,12 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         self._tick_fns: dict[tuple[int, int, int], object] = {}
         self._tick_raw_fns: dict[tuple[int, int, int], object] = {}
         self._grow_fns: dict[tuple[int, int], object] = {}
+        self._move_fns: dict[int, object] = {}
         self._frames_ring = None
         self._feats_ring = None
-        # host bookkeeping: slot ids + per-stream progress only
+        # host bookkeeping: compact slot ids + per-stream progress only
         self._slot_of: dict = {}
-        self._free: list[int] = []
+        self._stream_at: list = []  # slot -> stream_id (reverse map)
         self._fed: dict = {}
         self._next_index: dict = {}
         self._window_span = self.indexes_generator.behind + \
@@ -540,8 +548,8 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         import jax.numpy as jnp
 
         fh, fw, fc = self._feat_shape()
-        fr_shape = (cap + 1, self._fr, self._ph, self._pw)
-        ft_shape = (cap + 1, self._R, self.num_tta, fh, fw, fc)
+        fr_shape = (cap, self._fr, self._ph, self._pw)
+        ft_shape = (cap, self._R, self.num_tta, fh, fw, fc)
         if self._frames_ring is None:
             zeros = jax.jit(
                 lambda: (jnp.zeros(fr_shape, jnp.uint8),
@@ -554,17 +562,16 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             if fn is None:
                 def grow(frames_ring, feats_ring):
                     fpad = jnp.zeros(
-                        (cap + 1 - old,) + fr_shape[1:], jnp.uint8)
+                        (cap - old,) + fr_shape[1:], jnp.uint8)
                     tpad = jnp.zeros(
-                        (cap + 1 - old,) + ft_shape[1:], self.model.dtype)
-                    return (jnp.concatenate([frames_ring[:old], fpad]),
-                            jnp.concatenate([feats_ring[:old], tpad]))
+                        (cap - old,) + ft_shape[1:], self.model.dtype)
+                    return (jnp.concatenate([frames_ring, fpad]),
+                            jnp.concatenate([feats_ring, tpad]))
 
                 fn = jax.jit(grow, donate_argnums=(0, 1))
                 self._grow_fns[key] = fn
             self._frames_ring, self._feats_ring = fn(
                 self._frames_ring, self._feats_ring)
-        self._free.extend(range(self._cap, cap))
         self._cap = cap
 
     def _tick_fn(self, bucket: int, f: int):
@@ -587,10 +594,12 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         tta = self.tta
         model = self.model
 
-        def tick(variables, frames_ring, feats_ring, idx, new_frames):
-            # idx: (bucket,) i32 slot ids (cap = dummy sink for pad rows)
-            # new_frames: (bucket, f, H, W) u8, consecutive per row
-            fr_rows = jnp.take(frames_ring, idx, axis=0)
+        def tick(variables, frames_ring, feats_ring, active, new_frames):
+            # active: (bucket,) bool — rows whose stream fed frames this
+            # tick (compact slots: live streams are rows 0..K-1; inactive
+            # rows compute but keep their rings). new_frames:
+            # (bucket, f, H, W) u8, consecutive per row.
+            fr_rows = jax.lax.slice_in_dim(frames_ring, 0, bucket, axis=0)
             ext = jnp.concatenate([fr_rows, new_frames], axis=1)
             # newest stack for local frame j0 ends at ext index fr+j0; its
             # k-th frame sits (m-1-k)·step earlier → per-k slices of len f
@@ -609,7 +618,7 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             # (t·bucket·f, h, w, C) → (bucket, f, t, h, w, C)
             feats = feats.reshape((t, bucket, f) + feats.shape[1:])
             new_feats = jnp.moveaxis(feats, 0, 2)
-            ft_rows = jnp.take(feats_ring, idx, axis=0)
+            ft_rows = jax.lax.slice_in_dim(feats_ring, 0, bucket, axis=0)
             ext_f = jnp.concatenate([ft_rows, new_feats], axis=1)
             # window for local frame j0: newest stacks at ext_f indexes
             # (r+j0) − (s−1−k)·span, k = 0..s−1 → per-k slices of len f
@@ -626,8 +635,16 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             # jitted program (row j·f+k = slot row j, local frame k)
             preds = preds.reshape(bucket, f, t, -1).mean(axis=2)
             preds = preds.reshape(bucket * f, -1)
-            frames_ring = frames_ring.at[idx].set(ext[:, -fr:])
-            feats_ring = feats_ring.at[idx].set(ext_f[:, -r:])
+            # prefix write-back at a STATIC offset (update-slice, not a
+            # runtime-index scatter); inactive rows keep their old state
+            adv_fr = jnp.where(active[:, None, None, None],
+                               ext[:, -fr:], fr_rows)
+            adv_ft = jnp.where(active[:, None, None, None, None, None],
+                               ext_f[:, -r:], ft_rows)
+            frames_ring = jax.lax.dynamic_update_slice_in_dim(
+                frames_ring, adv_fr, 0, axis=0)
+            feats_ring = jax.lax.dynamic_update_slice_in_dim(
+                feats_ring, adv_ft, 0, axis=0)
             return preds, frames_ring, feats_ring
 
         self._tick_raw_fns[key] = tick  # bench: chainable in a fori_loop
@@ -640,10 +657,11 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
     def _slot(self, stream_id) -> int:
         slot = self._slot_of.get(stream_id)
         if slot is None:
-            if not self._free:
+            slot = len(self._stream_at)  # compact: append at the end
+            if slot >= self._cap:
                 self._ensure_capacity(self._cap * 2)
-            slot = self._free.pop()
             self._slot_of[stream_id] = slot
+            self._stream_at.append(stream_id)
             self._fed[stream_id] = 0
             self._next_index[stream_id] = None
         return slot
@@ -653,12 +671,45 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             self._fed[stream_id] = 0
             self._next_index[stream_id] = None
 
+    def _move_fn(self):
+        """One compiled row move (src → dst) per capacity — keeps slots
+        compact on close so ticks stay gather-free."""
+        fn = self._move_fns.get(self._cap)
+        if fn is None:
+            import jax
+
+            def move(frames_ring, feats_ring, src, dst):
+                row_f = jax.lax.dynamic_slice_in_dim(frames_ring, src, 1, 0)
+                row_t = jax.lax.dynamic_slice_in_dim(feats_ring, src, 1, 0)
+                return (
+                    jax.lax.dynamic_update_slice_in_dim(
+                        frames_ring, row_f, dst, axis=0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        feats_ring, row_t, dst, axis=0),
+                )
+
+            fn = jax.jit(move, donate_argnums=(0, 1))
+            self._move_fns[self._cap] = fn
+        return fn
+
     def close_stream(self, stream_id) -> None:
         slot = self._slot_of.pop(stream_id, None)
-        if slot is not None:
-            self._free.append(slot)
-            self._fed.pop(stream_id, None)
-            self._next_index.pop(stream_id, None)
+        if slot is None:
+            return
+        self._fed.pop(stream_id, None)
+        self._next_index.pop(stream_id, None)
+        last = len(self._stream_at) - 1
+        if slot != last:
+            # keep slots compact: move the last row into the hole
+            import jax.numpy as jnp
+
+            mover = self._stream_at[last]
+            self._frames_ring, self._feats_ring = self._move_fn()(
+                self._frames_ring, self._feats_ring,
+                jnp.int32(last), jnp.int32(slot))
+            self._stream_at[slot] = mover
+            self._slot_of[mover] = slot
+        self._stream_at.pop()
 
     # -- serving ---------------------------------------------------------------
 
@@ -675,13 +726,15 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         import jax.numpy as jnp
 
         for b in warmed:
-            idx = jnp.full((b,), self._cap, jnp.int32)  # all rows → sink
+            # all rows inactive: the warmup tick computes but leaves every
+            # ring row untouched
+            active = jnp.zeros((b,), jnp.bool_)
             for f in fs:
                 new = jnp.zeros((b, f, self._ph, self._pw), jnp.uint8)
                 fn = self._tick_fn(b, f)
                 preds, self._frames_ring, self._feats_ring = fn(
                     self.variables, self._frames_ring, self._feats_ring,
-                    idx, new)
+                    active, new)
                 np.asarray(preds)  # force compile + run
         return warmed
 
@@ -734,28 +787,28 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         return out
 
     def _dispatch(self, layer, f: int, results: dict) -> None:
-        n = len(layer)
-        slots = [self._slot(sid) for sid, _ in layer]
-        self._ensure_capacity(len(self._slot_of))
-        b = self._bucket_shape(n)
-        idx = np.full((b,), self._cap, np.int32)
-        idx[:n] = slots
+        slots = [self._slot(sid) for sid, _ in layer]  # may grow the rings
+        # the gather-free tick processes the compact slot PREFIX, so the
+        # bucket covers every live stream (not just this layer's)
+        b = self._bucket_shape(len(self._stream_at))
+        active = np.zeros((b,), bool)
         new = np.zeros((b, f, self._ph, self._pw), np.uint8)
-        for j, (sid, frames) in enumerate(layer):
+        for (sid, frames), slot in zip(layer, slots):
+            active[slot] = True
             for k, (frame, index) in enumerate(frames):
-                new[j, k] = frame
+                new[slot, k] = frame
         import jax.numpy as jnp
 
         fn = self._tick_fn(b, f)
         preds, self._frames_ring, self._feats_ring = fn(
             self.variables, self._frames_ring, self._feats_ring,
-            jnp.asarray(idx), jnp.asarray(new))
+            jnp.asarray(active), jnp.asarray(new))
         pred_rows = self._split_rows(preds, b * f)  # (classes,) each
-        for j, (sid, frames) in enumerate(layer):
+        for (sid, frames), slot in zip(layer, slots):
             fed = self._fed[sid]
             for k, (frame, index) in enumerate(frames):
                 fed += 1
                 if fed >= self._window_span:
-                    results[(sid, index)] = pred_rows[j * f + k]
+                    results[(sid, index)] = pred_rows[slot * f + k]
             self._fed[sid] = fed
             self._next_index[sid] = frames[-1][1] + 1

@@ -519,9 +519,10 @@ def bench_serve_device() -> dict:
     streams = capacity[str(int(budget_ms))]
     if engine == "device_state":
         note = ("tick = the REAL dispatched serving program (device-"
-                "resident frame+feature rings: slot-row gather, stack "
-                "assembly, fwd2d, window gather, fwd3d_head, ring "
-                "scatter — predict_batch dispatches exactly this, so "
+                "resident frame+feature rings, compact slot prefix: "
+                "static prefix read, stack assembly, fwd2d, static "
+                "window slices, fwd3d_head, masked prefix write-back "
+                "— predict_batch dispatches exactly this, so "
                 "nothing is approximated); timed by chaining the raw "
                 "tick through an in-jit fori_loop carry because "
                 "per-dispatch walls carry ~30 ms tunnel overhead; "
@@ -559,11 +560,23 @@ def bench_serve_device() -> dict:
 def coldstart_child(mode: str, ckpt: str, artifact: str, cache_dir: str) -> None:
     """One serving cold-start, measured from OUTSIDE: the parent times this
     whole process (interpreter + jax import + backend init + compile/load +
-    first prediction). Prints a marker after the first prediction reaches
-    the host, then exits."""
+    first prediction). Prints a ``CS_STAGE <name> <epoch_s>`` marker after
+    each startup stage (the parent passes its spawn wall clock in
+    ``BENCH_CS_T0``, so the deltas compose into a stage table — VERDICT r4
+    Next #6) and ``FIRST_PRED_OK`` after the first prediction reaches the
+    host, then exits."""
+
+    def stage(name):
+        print(f"CS_STAGE {name} {time.time():.3f}", flush=True)
+
+    stage("interpreter")  # interpreter + bench.py module imports
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    stage("jax_import")
+    jax.devices()  # backend init (through the tunnel on axon)
+    stage("backend_init")
 
     if mode == "cache":
         from ball_action_spotting_tpu.utils.platform import (
@@ -578,6 +591,7 @@ def coldstart_child(mode: str, ckpt: str, artifact: str, cache_dir: str) -> None
         )
 
         p = ExportedChunkPredictor(artifact)
+        stage("engine_build")  # artifact deserialize + weight constants
         w, h = p.image_size
         preds, _ = p._call(
             np.zeros((p.chunk_size, h, w), np.uint8),
@@ -596,6 +610,7 @@ def coldstart_child(mode: str, ckpt: str, artifact: str, cache_dir: str) -> None
         chunk = int(os.environ.get("BENCH_CHUNK", 128 if on_tpu else 8))
         p = ChunkedVideoPredictor(Path(ckpt), tta=False, dtype=jnp.bfloat16,
                                   chunk_size=chunk)
+        stage("engine_build")  # package import + ckpt load + weight upload
         w, h = p.image_size
         carry = p.init_carry(np.zeros((p.overlap, h, w), np.uint8))
         preds, _ = p._chunk_fn(
@@ -603,6 +618,7 @@ def coldstart_child(mode: str, ckpt: str, artifact: str, cache_dir: str) -> None
             carry,
         )
     np.asarray(preds)  # host sync = "first prediction served"
+    stage("first_prediction")  # compile-or-load + first dispatch
     print("FIRST_PRED_OK", flush=True)
 
 
@@ -620,11 +636,16 @@ def _coldstart_child_env() -> dict:
     return env
 
 
-def _run_coldstart_child(mode: str, ckpt, artifact, cache_dir, env) -> float:
+def _run_coldstart_child(mode: str, ckpt, artifact, cache_dir,
+                         env) -> tuple[float, dict]:
+    """Returns (total_s, stage_s): the end-to-end wall plus per-stage deltas
+    parsed from the child's CS_STAGE markers (stage N's cost = marker N −
+    marker N−1; the first is measured from the parent's spawn clock)."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--coldstart-child",
            mode, str(ckpt), str(artifact or ""), str(cache_dir or "")]
+    spawn_wall = time.time()
     t0 = time.perf_counter()
     proc = subprocess.run(
         cmd, env=env, capture_output=True, text=True,
@@ -636,8 +657,16 @@ def _run_coldstart_child(mode: str, ckpt, artifact, cache_dir, env) -> float:
             f"coldstart child {mode!r} failed (rc={proc.returncode}): "
             f"{proc.stderr[-2000:]}"
         )
-    print(f"# coldstart {mode}: {dt:.1f}s", file=sys.stderr, flush=True)
-    return dt
+    stages: dict[str, float] = {}
+    prev = spawn_wall
+    for line in proc.stdout.splitlines():
+        if line.startswith("CS_STAGE "):
+            _, name, t = line.split()
+            stages[name] = round(float(t) - prev, 2)
+            prev = float(t)
+    print(f"# coldstart {mode}: {dt:.1f}s  stages {stages}",
+          file=sys.stderr, flush=True)
+    return dt, stages
 
 
 def bench_coldstart() -> dict:
@@ -674,10 +703,10 @@ def bench_coldstart() -> dict:
         del predictor
         env = _coldstart_child_env()
         cache_dir = Path(tmp) / "xla_cache"
-        cold = _run_coldstart_child("jit", ckpt, "", "", env)
+        cold, cold_st = _run_coldstart_child("jit", ckpt, "", "", env)
         _run_coldstart_child("cache", ckpt, "", cache_dir, env)  # populate
-        warm = _run_coldstart_child("cache", ckpt, "", cache_dir, env)
-        aot = _run_coldstart_child("aot", ckpt, artifact, "", env)
+        warm, warm_st = _run_coldstart_child("cache", ckpt, "", cache_dir, env)
+        aot, aot_st = _run_coldstart_child("aot", ckpt, artifact, "", env)
 
     return {
         "metric": "serving_coldstart_seconds",
@@ -689,8 +718,15 @@ def bench_coldstart() -> dict:
             "cold_jit_s": round(cold, 1),
             "warm_cache_s": round(warm, 1),
             "aot_artifact_s": round(aot, 1),
+            "stages_cold_jit_s": cold_st,
+            "stages_warm_cache_s": warm_st,
+            "stages_aot_s": aot_st,
             "note": "vs_baseline = cold_jit_s / aot_artifact_s (speedup of "
-                    "the sealed artifact over an uncached process start)",
+                    "the sealed artifact over an uncached process start); "
+                    "stage keys: interpreter (python + bench imports), "
+                    "jax_import, backend_init (jax.devices()), engine_build "
+                    "(package import + ckpt/artifact load + weight upload), "
+                    "first_prediction (compile-or-cache-load + dispatch)",
         },
     }
 

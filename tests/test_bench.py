@@ -58,6 +58,15 @@ def test_bench_coldstart():
     extra = result["extra"]
     for key in ("cold_jit_s", "warm_cache_s", "aot_artifact_s"):
         assert isinstance(extra[key], float) and extra[key] > 0
+    # stage table: every stage present, deltas sum to ~the total (the gap
+    # is the child's exit + subprocess teardown, well under a second)
+    for key, total in (("stages_cold_jit_s", extra["cold_jit_s"]),
+                       ("stages_warm_cache_s", extra["warm_cache_s"]),
+                       ("stages_aot_s", extra["aot_artifact_s"])):
+        stages = extra[key]
+        assert set(stages) == {"interpreter", "jax_import", "backend_init",
+                               "engine_build", "first_prediction"}
+        assert abs(sum(stages.values()) - total) < 1.0, (key, stages, total)
 
 
 @pytest.mark.slow

@@ -280,13 +280,49 @@ def test_device_state_ragged_backlog_and_lifecycle(ckpt_path):  # noqa: F811
         ref = np.stack([raw[idx.index(i)] for i in idx_got])
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
-    slot0 = multi._slot_of[0]
+    assert multi._slot_of[0] == 0 and multi._slot_of[1] == 1
     multi.close_stream(0)
-    assert 0 not in multi._slot_of and slot0 in multi._free
+    # compact slots: the survivor was swapped into the hole (row move on
+    # device); mid-stream correctness after a swap is pinned by
+    # test_device_state_close_swap_preserves_streams
+    assert 0 not in multi._slot_of
+    assert multi._slot_of[1] == 0 and multi._stream_at == [1]
     multi.predict_batch([("new", frames[0][0], 0)])
-    assert multi._slot_of["new"] == slot0  # slot reused
+    assert multi._slot_of["new"] == 1  # appended after the survivor
     with pytest.raises(ValueError, match="consecutive"):
         multi.predict_batch([("new", frames[0][5], 5)])  # gap after 0
+
+
+def test_device_state_close_swap_preserves_streams(ckpt_path):  # noqa: F811
+    """Closing a stream mid-run swaps the LAST slot's device rows into the
+    hole (compact slots keep the tick gather-free); the moved stream's
+    subsequent predictions must stay bit-correct."""
+    k = 3
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=False, dtype=jnp.float32, slot_capacity=4)
+    sources = _sources(k)
+    frames = {s: [sources[s].fetch_frame() for _ in range(FRAME_COUNT)]
+              for s in sources}
+    collected = {s: {} for s in sources}
+    closed_at = FRAME_COUNT // 2
+    for i in range(FRAME_COUNT):
+        if i == closed_at:
+            multi.close_stream(0)  # stream 2 (last slot) swaps into row 0
+            assert multi._slot_of[2] == 0
+        batch = [(s, frames[s][i], i) for s in sources
+                 if s != 0 or i < closed_at]
+        for s, pred, pi in multi.predict_batch(batch):
+            if pred is not None and pi >= 0:
+                collected[s][pi] = np.asarray(pred)
+
+    for s in (1, 2):  # survivors must match the per-stream reference
+        ref_src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                                  seed=10 + s, events={20: 0, 30: 1})
+        single = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+        idx, raw = get_raw_predictions(single, ref_src, FRAME_COUNT)
+        assert set(idx) <= set(collected[s])
+        got = np.stack([collected[s][i] for i in idx])
+        np.testing.assert_allclose(got, raw, atol=1e-5)
 
 
 def test_device_state_tick_ms_smoke(ckpt_path):  # noqa: F811
