@@ -498,22 +498,30 @@ def bench_serve_device() -> dict:
     # Latency–throughput curve: feeding F frames per stream per tick gives
     # the tick an F×40 ms budget — bigger batches amortize better
     # (converging on the chunk engine as F grows), so capacity rises with
-    # accepted latency. Device-state: K streams servable at latency F·40
-    # iff the MEASURED (bucket>=K, F) tick fits F·40. Host-state rows are
-    # row-bucket bounds: bucket b >= F·K with tick(b) <= F·40.
+    # accepted latency. SUSTAINABILITY is per-configuration: a (bucket K,
+    # F) tick consumes K·F frames, and K streams generate K·F frames every
+    # F·40 ms, so the tick must fit F·40 ms REGARDLESS of the client's
+    # latency tolerance — a slower tick falls behind 25 fps arrival and the
+    # backlog grows without bound. The latency budget L only bounds which F
+    # may be used (frames queue up to F·40 ms before batching): capacity(L)
+    # = max K over f ≤ L/40 with tick(K, f) ≤ f·40. (The round-4 artifact's
+    # formula admitted latency-feasible but throughput-unsustainable F=1
+    # rows into the L>40 buckets — fixed here; rows recomputed for r05.)
     capacity = {}
     best = 0
     for f in (1, 2, 4):
-        if engine == "device_state":
-            ok = [int(b) for b, ms in ticks_ms_by_f.get(str(f), {}).items()
-                  if ms <= budget_ms * f]
-            # per-frame ticks under an F x 40 ms budget also qualify
-            ok += [int(b) for b, ms in ticks_ms_by_f.get("1", {}).items()
-                   if ms <= budget_ms * f]
-        else:
-            ok = [int(b) // f for b, ms in ticks_ms.items()
-                  if ms <= budget_ms * f]
-        # a latency budget admits every smaller frames-per-tick too
+        ok = [0]
+        for f2 in (1, 2, 4):
+            if f2 > f:
+                continue  # batching latency f2*40 must fit the budget
+            if engine == "device_state":
+                ok += [int(b) for b, ms in
+                       ticks_ms_by_f.get(str(f2), {}).items()
+                       if ms <= budget_ms * f2]
+            else:
+                # host-state rows are row-buckets: bucket b >= f2*K
+                ok += [int(b) // f2 for b, ms in ticks_ms.items()
+                       if ms <= budget_ms * f2]
         best = max([best] + ok)
         capacity[str(int(budget_ms * f))] = best
     streams = capacity[str(int(budget_ms))]
@@ -771,6 +779,11 @@ def main() -> None:
     maybe_enable_compilation_cache_from_env()
     print(f"# bench devices: {jax.devices()}", file=sys.stderr, flush=True)
     done.set()
+    if _arch() == "efficientnetv2_test":  # CPU smoke of any bench mode
+        sys.path.insert(0, str(Path(__file__).parent))
+        from tests.tiny_arch import register_tiny_arch
+
+        register_tiny_arch()
     metric = os.environ.get("BENCH_METRIC", "infer")
     if metric == "train":
         print(json.dumps(bench_train()))
