@@ -136,10 +136,12 @@ def device_state_tick_ms(
 
     predictor._ensure_capacity(bucket)
     cap = predictor._cap
-    tick_raw = predictor._tick_raw_fns.get((bucket, frames_per_slot, cap))
+    # steady state dispatches the mask-free variant (active all-true)
+    key = (bucket, frames_per_slot, cap, False)
+    tick_raw = predictor._tick_raw_fns.get(key)
     if tick_raw is None:
-        predictor._tick_fn(bucket, frames_per_slot)
-        tick_raw = predictor._tick_raw_fns[(bucket, frames_per_slot, cap)]
+        predictor._tick_fn(bucket, frames_per_slot, masked=False)
+        tick_raw = predictor._tick_raw_fns[key]
     variables = predictor.variables
     rng = np.random.default_rng(0)
     xf = jnp.asarray(rng.integers(
@@ -147,13 +149,18 @@ def device_state_tick_ms(
         dtype=np.uint8))
     active = jnp.ones((bucket,), jnp.bool_)
 
-    def body(_, carry):
+    span = max(1, predictor._span)
+
+    def body(i, carry):
         c, frames_ring, feats_ring = carry
         # carry-dependent uint8 input prevents loop hoisting (CLAUDE.md
         # scan-timing rules; the ring state already chains through)
         new = xf + (c * 1e-3).astype(jnp.uint8)
+        # the global write phase advances by f per tick, exactly as
+        # predict_batch's dispatch counter does
+        phase = jax.lax.rem(i * frames_per_slot, jnp.int32(span))
         preds, frames_ring, feats_ring = tick_raw(
-            variables, frames_ring, feats_ring, active, new)
+            variables, frames_ring, feats_ring, active, new, phase)
         return (c + preds.mean() * 1e-20, frames_ring, feats_ring)
 
     def loop_fn(length, frames_ring, feats_ring):
@@ -453,15 +460,30 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
     host-side programs in-program. This engine moves the state INTO the
     tick program, so the measured path IS the serving path:
 
-    - a frame ring ``(cap, fr, H, W) u8`` and a newest-stack feature
-      ring ``(cap, R, tta, h, w, C)`` live on device, one row per stream
-      slot. ``fr`` = ``(stack-1)·step + 1`` frames is exactly what
-      assembling the newest stack needs; ``R = (S-1)·span + 1``
-      newest-stack features is exactly what gathering a prediction window
-      needs (the window for predict index ``p`` is the newest stacks from
-      ``span·k`` ticks ago, ``k = 0..S-1`` — the same cache-hit structure
-      the reference's streaming cache exploits,
-      ``/root/reference/src/predictors.py``).
+    - a frame ring ``(cap, fr, H, W) u8`` and a PHASE-KEYED newest-stack
+      feature store ``(cap, span, S-1, tta, h, w, C)`` live on device, one
+      row per stream slot. ``fr`` = ``(stack-1)·step + 1`` frames is
+      exactly what assembling the newest stack needs. The feature store
+      exploits that the window for predict index ``p`` reads the newest
+      stacks from ``span·k`` ticks ago, ``k = 0..S-1`` (the same cache-hit
+      structure the reference's streaming cache exploits,
+      ``/root/reference/src/predictors.py``) — i.e. a stored feature row
+      is only ever READ at ages that are multiples of ``span``, so the
+      flat age ring of ``R = (S-1)·span + 1`` rows factors into ``span``
+      independent sub-rings of ``S-1`` rows keyed by write phase
+      (tick index mod span). A tick reads and shifts ONLY the current
+      phase's sub-ring (``S-1`` rows per frame) instead of shifting the
+      whole ring (``R`` rows): at the flagship geometry that cuts the
+      write-back from ~3.8 GB to ~0.6 GB of HBM traffic per bucket-32
+      tick — measured worth ~4 ms of the 40 ms realtime budget. The
+      phase rides in as a device scalar, so one compiled program serves
+      every phase (no per-phase recompiles). Slots that skip a dispatch
+      fall out of phase with the global counter; the host realigns such a
+      slot before its next tick with one tiny program (roll of its
+      ``(span, S-1)`` plane — ``_realign_fn``), so ragged traffic stays
+      correct at a small extra dispatch, while the steady state (every
+      stream feeds every tick — the capacity-determining case) pays no
+      realignment ever.
     - slots are COMPACT (live streams occupy rows ``0..K-1``;
       ``close_stream`` swaps the last row into the hole with one small
       device program), so a tick is GATHER-FREE: it reads the ring PREFIX
@@ -504,10 +526,11 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         # feature-map geometry probed from one tiny jitted encode
         self._feat_hw_c = None
         self._cap = 0
-        self._tick_fns: dict[tuple[int, int, int], object] = {}
-        self._tick_raw_fns: dict[tuple[int, int, int], object] = {}
+        self._tick_fns: dict = {}
+        self._tick_raw_fns: dict = {}
         self._grow_fns: dict[tuple[int, int], object] = {}
         self._move_fns: dict[int, object] = {}
+        self._realign_fns: dict[int, object] = {}
         self._frames_ring = None
         self._feats_ring = None
         # host bookkeeping: compact slot ids + per-stream progress only
@@ -515,6 +538,12 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         self._stream_at: list = []  # slot -> stream_id (reverse map)
         self._fed: dict = {}
         self._next_index: dict = {}
+        # phase bookkeeping for the sub-ring feature store: a global write
+        # phase (mod span) plus each slot's last write phase — a slot whose
+        # last write is not exactly one tick behind the global phase gets
+        # realigned (one small roll program) before its next tick
+        self._phase = 0
+        self._wp: dict[int, int] = {}
         self._window_span = self.indexes_generator.behind + \
             self.indexes_generator.ahead + 1
         self._ensure_capacity(max(1, slot_capacity))
@@ -549,7 +578,10 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
 
         fh, fw, fc = self._feat_shape()
         fr_shape = (cap, self._fr, self._ph, self._pw)
-        ft_shape = (cap, self._R, self.num_tta, fh, fw, fc)
+        # phase-keyed sub-rings: span classes × (S-1) rows each — same
+        # total payload as the flat age ring (R-1 = span·(S-1) rows)
+        ft_shape = (cap, self._span, self.num_stacks - 1, self.num_tta,
+                    fh, fw, fc)
         if self._frames_ring is None:
             zeros = jax.jit(
                 lambda: (jnp.zeros(fr_shape, jnp.uint8),
@@ -574,10 +606,25 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
                 self._frames_ring, self._feats_ring)
         self._cap = cap
 
-    def _tick_fn(self, bucket: int, f: int):
+    def _tick_fn(self, bucket: int, f: int, masked: bool = True):
         """The whole-tick program for ``bucket`` slot rows × ``f``
-        consecutive frames per row (see class docstring)."""
-        key = (bucket, f, self._cap)
+        consecutive frames per row (see class docstring).
+
+        ``masked=False`` compiles the steady-state specialization: every
+        slot row is active (the common serving case — ``_dispatch`` picks
+        it when the host-side ``active`` mask is all-true), so the ring
+        write-back skips the ``jnp.where`` select. That saves one full
+        read of each ring prefix per tick (~1 GB of HBM traffic at
+        bucket 32 on the flagship geometry) — the select's fallback
+        operand is the unshifted prefix, which the masked program must
+        stream through the VPU even when no row uses it.
+        """
+        if f > self._span and self.num_stacks > 1:
+            raise ValueError(
+                f"device-state tick supports at most span={self._span} "
+                f"frames per dispatch (got {f}); predict_batch splits "
+                "bigger uniform backlogs into span-sized layers")
+        key = (bucket, f, self._cap, masked)
         fn = self._tick_fns.get(key)
         if fn is not None:
             return fn
@@ -588,24 +635,45 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         step = self.frame_stack_step
         span = self._span
         fr = self._fr
-        r = self._R
         s = self.num_stacks
         t = self.num_tta
         tta = self.tta
         model = self.model
 
-        def tick(variables, frames_ring, feats_ring, active, new_frames):
+        def vslice(old, new, start: int, length: int):
+            # slice [start, start+length) of the VIRTUAL concat([old, new],
+            # axis=1) as piecewise static slices — never materializing the
+            # (bucket, old+new, ...) extension the round-4 tick built
+            # (~2 GB of writes+reads per tick at bucket 32; the HLO kept
+            # the concats because the donated ring write-back consumed
+            # them at a different layout)
+            n_old = old.shape[1]
+            pieces = []
+            if start < n_old:
+                pieces.append(jax.lax.slice_in_dim(
+                    old, start, min(start + length, n_old), axis=1))
+            if start + length > n_old:
+                pieces.append(jax.lax.slice_in_dim(
+                    new, max(start - n_old, 0), start + length - n_old,
+                    axis=1))
+            return pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=1)
+
+        def tick(variables, frames_ring, feats_sub, active, new_frames,
+                 phase):
             # active: (bucket,) bool — rows whose stream fed frames this
             # tick (compact slots: live streams are rows 0..K-1; inactive
-            # rows compute but keep their rings). new_frames:
-            # (bucket, f, H, W) u8, consecutive per row.
+            # rows compute but keep their state). new_frames:
+            # (bucket, f, H, W) u8, consecutive per row. phase: i32 scalar
+            # — the global write phase (tick index mod span) of local
+            # frame 0; frames j0 land at phase+j0 (distinct sub-rings
+            # because f ≤ span).
             fr_rows = jax.lax.slice_in_dim(frames_ring, 0, bucket, axis=0)
-            ext = jnp.concatenate([fr_rows, new_frames], axis=1)
-            # newest stack for local frame j0 ends at ext index fr+j0; its
-            # k-th frame sits (m-1-k)·step earlier → per-k slices of len f
+            # newest stack for local frame j0 ends at virtual-ext index
+            # fr+j0; its k-th frame sits (m-1-k)·step earlier → per-k
+            # virtual slices of len f
             stacks = jnp.stack(
-                [ext[:, fr - (m - 1 - k) * step:
-                     fr - (m - 1 - k) * step + f]
+                [vslice(fr_rows, new_frames, fr - (m - 1 - k) * step, f)
                  for k in range(m)],
                 axis=-1,
             )  # (bucket, f, H, W, m) u8 — channels-last, encoder order
@@ -618,15 +686,34 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             # (t·bucket·f, h, w, C) → (bucket, f, t, h, w, C)
             feats = feats.reshape((t, bucket, f) + feats.shape[1:])
             new_feats = jnp.moveaxis(feats, 0, 2)
-            ft_rows = jax.lax.slice_in_dim(feats_ring, 0, bucket, axis=0)
-            ext_f = jnp.concatenate([ft_rows, new_feats], axis=1)
-            # window for local frame j0: newest stacks at ext_f indexes
-            # (r+j0) − (s−1−k)·span, k = 0..s−1 → per-k slices of len f
-            wins = jnp.stack(
-                [ext_f[:, 1 + k * span: 1 + k * span + f]
-                 for k in range(s)],
-                axis=3,
-            )  # (bucket, f, t, S, h, w, C)
+            sub_rows = jax.lax.slice_in_dim(feats_sub, 0, bucket, axis=0) \
+                if s > 1 else None
+            wins_j = []
+            upds = []  # (phase_j, advanced slab) — written after compute
+            for j0 in range(f):
+                nf = new_feats[:, j0]  # (bucket, t, h, w, C)
+                if s > 1:
+                    ph_j = jax.lax.rem(phase + j0, jnp.int32(span))
+                    # the sub-ring for this frame's phase: its slot's
+                    # newest stacks at ages span·k, k = s-1 .. 1
+                    # (index j = age (s-1-j)·span; scalar dynamic start on
+                    # a contiguous slab — layout work, not a gather)
+                    slab = jax.lax.dynamic_slice_in_dim(
+                        sub_rows, ph_j, 1, axis=1)[:, 0]
+                    # (bucket, s-1, t, h, w, C), oldest → newest
+                    win = jnp.stack(
+                        [slab[:, j] for j in range(s - 1)] + [nf], axis=2)
+                    adv = jnp.concatenate([slab[:, 1:], nf[:, None]],
+                                          axis=1)
+                    if masked:
+                        adv = jnp.where(
+                            active[:, None, None, None, None, None],
+                            adv, slab)
+                    upds.append((ph_j, adv))
+                else:
+                    win = nf[:, :, None]
+                wins_j.append(win)  # (bucket, t, S, h, w, C)
+            wins = jnp.stack(wins_j, axis=1)  # (bucket, f, t, S, h, w, C)
             flat = wins.reshape((bucket * f * t,) + wins.shape[3:])
             logits = model.apply(variables, flat, train=False,
                                  method=type(model).forward_3d_head)
@@ -635,17 +722,22 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
             # jitted program (row j·f+k = slot row j, local frame k)
             preds = preds.reshape(bucket, f, t, -1).mean(axis=2)
             preds = preds.reshape(bucket * f, -1)
-            # prefix write-back at a STATIC offset (update-slice, not a
-            # runtime-index scatter); inactive rows keep their old state
-            adv_fr = jnp.where(active[:, None, None, None],
-                               ext[:, -fr:], fr_rows)
-            adv_ft = jnp.where(active[:, None, None, None, None, None],
-                               ext_f[:, -r:], ft_rows)
+            # frame-ring write-back at a STATIC prefix offset: the
+            # advanced prefix is the virtual ext's last fr entries
+            adv_fr = vslice(fr_rows, new_frames, f, fr)
+            if masked:
+                adv_fr = jnp.where(active[:, None, None, None],
+                                   adv_fr, fr_rows)
             frames_ring = jax.lax.dynamic_update_slice_in_dim(
                 frames_ring, adv_fr, 0, axis=0)
-            feats_ring = jax.lax.dynamic_update_slice_in_dim(
-                feats_ring, adv_ft, 0, axis=0)
-            return preds, frames_ring, feats_ring
+            # feature write-back: ONE (bucket, s-1)-row slab per frame at
+            # its phase — the whole point of the sub-ring factoring (the
+            # flat ring had to shift all R rows per tick)
+            for ph_j, adv in upds:
+                feats_sub = jax.lax.dynamic_update_slice(
+                    feats_sub, adv[:, None],
+                    (0, ph_j) + (0,) * (feats_sub.ndim - 2))
+            return preds, frames_ring, feats_sub
 
         self._tick_raw_fns[key] = tick  # bench: chainable in a fori_loop
         fn = jax.jit(tick, donate_argnums=(1, 2))
@@ -670,6 +762,29 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         if stream_id in self._slot_of:
             self._fed[stream_id] = 0
             self._next_index[stream_id] = None
+
+    def _realign_fn(self):
+        """One compiled per-slot phase realign per capacity: a slot that
+        skipped ``d`` global ticks has every stored feature row keyed
+        ``d`` phases early — roll its ``(span, S-1)`` plane by ``d`` so
+        its rows are read at the right future ticks (class docstring).
+        Touches one slot's plane only (~tens of MB), dispatched lazily
+        just before a misaligned slot's next tick."""
+        fn = self._realign_fns.get(self._cap)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            def realign(feats_sub, slot, d):
+                plane = jax.lax.dynamic_slice_in_dim(
+                    feats_sub, slot, 1, axis=0)
+                rolled = jnp.roll(plane, d, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    feats_sub, rolled, slot, axis=0)
+
+            fn = jax.jit(realign, donate_argnums=(0,))
+            self._realign_fns[self._cap] = fn
+        return fn
 
     def _move_fn(self):
         """One compiled row move (src → dst) per capacity — keeps slots
@@ -709,6 +824,9 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
                 jnp.int32(last), jnp.int32(slot))
             self._stream_at[slot] = mover
             self._slot_of[mover] = slot
+            if last in self._wp:
+                self._wp[slot] = self._wp[last]
+        self._wp.pop(last, None)
         self._stream_at.pop()
 
     # -- serving ---------------------------------------------------------------
@@ -726,16 +844,31 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         import jax.numpy as jnp
 
         for b in warmed:
-            # all rows inactive: the warmup tick computes but leaves every
-            # ring row untouched
+            # masked variant: all rows inactive — the warmup tick computes
+            # but leaves every ring row untouched, so it is safe mid-serving
             active = jnp.zeros((b,), jnp.bool_)
             for f in fs:
                 new = jnp.zeros((b, f, self._ph, self._pw), jnp.uint8)
                 fn = self._tick_fn(b, f)
                 preds, self._frames_ring, self._feats_ring = fn(
                     self.variables, self._frames_ring, self._feats_ring,
-                    active, new)
+                    active, new, jnp.int32(self._phase))
                 np.asarray(preds)  # force compile + run
+                # mask-free steady-state variant (what a tick where every
+                # live stream fed dispatches): its tick ADVANCES all rows,
+                # so warm it on donated COPIES of the rings — live stream
+                # state stays untouched
+                fn = self._tick_fn(b, f, masked=False)
+                preds, _, _ = fn(
+                    self.variables, jnp.copy(self._frames_ring),
+                    jnp.copy(self._feats_ring), jnp.ones((b,), jnp.bool_),
+                    new, jnp.int32(self._phase))
+                np.asarray(preds)
+        if self.num_stacks > 1 and self._span > 1:
+            # the ragged-traffic realign program (d=0 roll is the identity,
+            # safe on the live store)
+            self._feats_ring = self._realign_fn()(
+                self._feats_ring, jnp.int32(0), jnp.int32(0))
         return warmed
 
     def predict_batch(
@@ -767,9 +900,16 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         if len(counts) == 1:
             # uniform case (the steady-state serving pattern): one program
             # at (bucket, F) — a backlogged server's F=2 tick amortizes the
-            # bucket exactly as the capacity ladder models
+            # bucket exactly as the capacity ladder models. Backlogs deeper
+            # than span split into span-sized uniform layers (each tick's
+            # frames must land on distinct feature-store phases).
             f = next(iter(counts))
-            layers = [(f, [(sid, per_stream[sid]) for sid in order])]
+            step = self._span if self.num_stacks > 1 else f
+            layers = [
+                (min(step, f - off),
+                 [(sid, per_stream[sid][off:off + step]) for sid in order])
+                for off in range(0, f, step)
+            ]
         else:
             # ragged backlogs: one F=1 layer per depth (bounded dispatches)
             layers = [
@@ -792,6 +932,12 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
         # bucket covers every live stream (not just this layer's)
         b = self._bucket_shape(len(self._stream_at))
         active = np.zeros((b,), bool)
+        # padding slots (no stream owns them) may advance freely: their ring
+        # rows are never read into a surfaced prediction — a stream's first
+        # prediction (fed ≥ window_span ≥ R) depends only on its own last R
+        # ring writes, the same property that makes slot reuse after
+        # close_stream safe (test_device_state_close_swap_preserves_streams)
+        active[len(self._stream_at):] = True
         new = np.zeros((b, f, self._ph, self._pw), np.uint8)
         for (sid, frames), slot in zip(layer, slots):
             active[slot] = True
@@ -799,10 +945,27 @@ class DeviceStateMultiStreamPredictor(MultiStreamPredictor):
                 new[slot, k] = frame
         import jax.numpy as jnp
 
-        fn = self._tick_fn(b, f)
+        span = self._span
+        phi = self._phase
+        if self.num_stacks > 1 and span > 1:
+            # realign slots whose last write is not exactly one global
+            # tick behind (they skipped dispatches — ragged traffic); the
+            # steady state never enters this loop
+            for (sid, frames), slot in zip(layer, slots):
+                if self._fed.get(sid, 0):
+                    d = (phi - 1 - self._wp.get(slot, phi - 1)) % span
+                    if d:
+                        self._feats_ring = self._realign_fn()(
+                            self._feats_ring, jnp.int32(slot), jnp.int32(d))
+        # steady state (every live stream fed this tick) dispatches the
+        # mask-free specialization — no `where` fallback reads
+        fn = self._tick_fn(b, f, masked=not bool(active.all()))
         preds, self._frames_ring, self._feats_ring = fn(
             self.variables, self._frames_ring, self._feats_ring,
-            jnp.asarray(active), jnp.asarray(new))
+            jnp.asarray(active), jnp.asarray(new), jnp.int32(phi))
+        for (sid, frames), slot in zip(layer, slots):
+            self._wp[slot] = (phi + f - 1) % span
+        self._phase = (phi + f) % span
         pred_rows = self._split_rows(preds, b * f)  # (classes,) each
         for (sid, frames), slot in zip(layer, slots):
             fed = self._fed[sid]

@@ -233,6 +233,31 @@ def _challenge_map(spotting_by_game: dict, challenge_gt: dict,
     return float(a_map)
 
 
+def probe_stage1(wd: Path, a) -> dict:
+    """Cheap difficulty probe: train + evaluate stage-1 fold 0 only
+    (~1/15 of the full chain) — used to calibrate the task knobs so
+    stage-1 lands mid-range (neither saturated nor noise) before paying
+    for the full 4-stage × 7-fold chain on the v5e."""
+    os.environ["BAS_TPU_WORKDIR"] = str(wd)
+    os.environ["BAS_TPU_ACTION_SPLITS"] = str(wd / "splits")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_rehearsal_driver", REPO / "scripts/rehearsal.py")
+    rehearsal = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rehearsal)
+    run = rehearsal.run_in_process
+
+    from ball_action_spotting_tpu.domains import ball
+
+    run("train.py", "--experiment", "hard_s1", "--folds", "0")
+    run("predict.py", "--experiment", "hard_s1", "--folds", "0")
+    run("evaluate.py", "--experiment", "hard_s1", "--folds", "0")
+    r = json.loads((ball.DOMAIN.predictions_dir / "hard_s1" / "cv" /
+                    "fold_0" / "evaluate_results.json").read_text())
+    return {"stage1_fold0_map": r["a_mAP"]}
+
+
 def run_chain(wd: Path, a) -> dict:
     """Drive the real CLIs in-process (shared jit cache) and score."""
     os.environ["BAS_TPU_WORKDIR"] = str(wd)
@@ -336,6 +361,9 @@ def main():
     parser.add_argument("--epoch_size", type=int, default=128)
     parser.add_argument("--out", default=str(REPO / "TPU_STAGE_GAIN.json"))
     parser.add_argument("--no-assert", action="store_true")
+    parser.add_argument("--probe", action="store_true",
+                        help="stage-1 fold-0 only: calibrate task difficulty"
+                             " cheaply (writes no artifact, just prints)")
     args = parser.parse_args()
 
     import jax
@@ -346,6 +374,12 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         wd = Path(tmp)
         args.challenge_gt = build_workdir(wd, args)
+        if args.probe:
+            scores = probe_stage1(wd, args)
+            print(json.dumps({**scores,
+                              "wall_s": round(time.perf_counter() - t0, 1)},
+                             indent=2), flush=True)
+            return
         scores = run_chain(wd, args)
     wall = time.perf_counter() - t0
 

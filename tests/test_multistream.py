@@ -339,7 +339,8 @@ def test_device_state_tick_ms_smoke(ckpt_path):  # noqa: F811
         multi, bucket=2, scan_lengths=(1, 3), reps=1)
     assert ms > 0 and np.isfinite(ms)
     assert set(times) == {1, 3}
-    assert (2, 1, multi._cap) in multi._tick_raw_fns
+    # the bench times the mask-free steady-state variant (active all-true)
+    assert (2, 1, multi._cap, False) in multi._tick_raw_fns
 
 
 def test_device_state_warmup_bounds_programs(ckpt_path):  # noqa: F811
@@ -351,8 +352,10 @@ def test_device_state_warmup_bounds_programs(ckpt_path):  # noqa: F811
     warmed = multi.warmup(k)
     assert warmed == [1, 2, 4]
     tick_keys = set(multi._tick_fns)
-    # cap stays at the constructor default (8): warmup(3) needs no growth
-    assert tick_keys == {(1, 1, 8), (2, 1, 8), (4, 1, 8)}
+    # cap stays at the constructor default (8): warmup(3) needs no growth;
+    # both the masked and the mask-free steady-state variant are warmed
+    assert tick_keys == {(b, 1, 8, masked)
+                         for b in (1, 2, 4) for masked in (True, False)}
     sources = _sources(k)
     positions = {s: -1 for s in sources}
     got = 0
@@ -365,6 +368,36 @@ def test_device_state_warmup_bounds_programs(ckpt_path):  # noqa: F811
             got += pred is not None
     assert got > 0
     assert set(multi._tick_fns) == tick_keys  # no new programs
+
+
+def test_device_state_warmup_then_serve_matches(ckpt_path):  # noqa: F811
+    """Warmup runs real (mask-free) ticks whose write-back leaves non-zero
+    rows in the rings, and padding slots advance freely during serving —
+    neither may ever reach a surfaced prediction. Serve after warmup and
+    pin equality against the per-stream reference."""
+    k = 2  # bucket_shape(2) = 2 < slot_capacity 4: padding rows exist
+    multi = DeviceStateMultiStreamPredictor(
+        ckpt_path, tta=False, dtype=jnp.float32, slot_capacity=4)
+    multi.warmup(4, frames_per_tick=2)
+    sources = _sources(k)
+    positions = {s: -1 for s in sources}
+    collected = {s: {} for s in sources}
+    for _ in range(FRAME_COUNT):
+        batch = []
+        for s, src in sources.items():
+            positions[s] += 1
+            batch.append((s, src.fetch_frame(), positions[s]))
+        for s, pred, pi in multi.predict_batch(batch):
+            if pred is not None and pi >= 0:
+                collected[s][pi] = np.asarray(pred)
+    for s in sources:
+        ref_src = SyntheticSource(num_frames=FRAME_COUNT, height=64, width=96,
+                                  seed=10 + s, events={20: 0, 30: 1})
+        single = StreamingPredictor(ckpt_path, tta=False, dtype=jnp.float32)
+        idx, raw = get_raw_predictions(single, ref_src, FRAME_COUNT)
+        assert set(idx) <= set(collected[s])
+        got = np.stack([collected[s][i] for i in idx])
+        np.testing.assert_allclose(got, raw, atol=1e-5)
 
 
 def test_bucket_shape_granularity_above_16():
