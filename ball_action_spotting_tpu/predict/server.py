@@ -373,6 +373,15 @@ def main(argv: Optional[list[str]] = None) -> None:
              "mid-traffic stalls a live tick by 20-160 s on a v5e; combine "
              "with BAS_TPU_COMPILE_CACHE so restarts read from disk)")
     parser.add_argument(
+        "--bucket_granularity", type=int, default=8,
+        help="tick batch shapes are rounded up to multiples of this above "
+             "16 rows (plus one half-step at 12). Finer steps matter at "
+             "the realtime budget's edge: capacity is the largest bucket "
+             "whose tick fits 40 ms, and a coarse ladder can overshoot it "
+             "(e.g. 4 admits a bucket-28 tick where 8 jumps from 24 "
+             "straight to an over-budget 32 — BENCH_SERVE_DEVICE_r05). "
+             "Cost: more shapes to warm up/compile")
+    parser.add_argument(
         "--device_state", action="store_true",
         help="device-resident per-stream state: one dispatched program per "
              "tick (frame + feature rings live in HBM, row gather/scatter "
@@ -383,7 +392,8 @@ def main(argv: Optional[list[str]] = None) -> None:
 
     engine_cls = (DeviceStateMultiStreamPredictor if args.device_state
                   else MultiStreamPredictor)
-    predictor = engine_cls(args.checkpoint, tta=args.tta)
+    predictor = engine_cls(args.checkpoint, tta=args.tta,
+                           bucket_granularity=args.bucket_granularity)
     if args.warmup_streams > 0:
         t0 = time.perf_counter()
         # warm the BACKLOG path too: a backlogged tick batches up to 2
