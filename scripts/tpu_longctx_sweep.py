@@ -40,6 +40,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ball_action_spotting_tpu.utils.platform import (
+        maybe_enable_compilation_cache_from_env,
+    )
+
+    maybe_enable_compilation_cache_from_env()  # BAS_TPU_COMPILE_CACHE
+
     import bench
     from ball_action_spotting_tpu.models.effnetv2 import EFFNETV2_ARCHS
     from ball_action_spotting_tpu.predict.streaming import ChunkedVideoPredictor

@@ -368,6 +368,11 @@ def main():
 
     import jax
 
+    from ball_action_spotting_tpu.utils.platform import (
+        maybe_enable_compilation_cache_from_env,
+    )
+
+    maybe_enable_compilation_cache_from_env()  # BAS_TPU_COMPILE_CACHE
     backend = jax.default_backend()
     print("backend:", backend, flush=True)
     t0 = time.perf_counter()
